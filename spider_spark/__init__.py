@@ -1,0 +1,27 @@
+"""spider_spark — a from-scratch PySpark-native crawl-analytics engine.
+
+Re-expresses the computational semantics of the reference crawler stack
+(pengdan01/spider, a C++ Hadoop-streaming MapReduce crawler; see SURVEY.md)
+as idiomatic PySpark: DataFrame/SQL logical plans optimized by Catalyst/AQE,
+vectorized pandas/Arrow UDFs where built-ins can't express the semantics,
+and a micro-batch crawl-round loop over partitioned tables of interleaved
+text+media documents.
+
+Modules
+-------
+session      SparkSession factory with scale-tuned confs (AQE, Arrow, shuffle)
+urlkit       URL canonicalization, 64-bit fingerprints, host parsing/sharding
+spans        interleaved-document schema, synthetic web generator, outlink
+             extraction (the engine's primary input per BASELINE.json)
+seen         URL-seen set: exact anti-join oracle + partitioned Bloom shards
+             (+ cuckoo fallback supporting deletion)
+frontier     UV scoring, priority banding, per-host top-k budgets
+politeness   robots gating, per-host QPS round assignment, skew salting
+round        the micro-batch crawl round: extract→dedupe→score→schedule→
+             fetch(simulated)→merge, checkpoint/resume with lineage
+logs         pv/search/click log pipelines feeding the scorer
+simulator    pure-Python reference simulator (correctness oracle for
+             crawl ordering + URL-seen set under a seeded politeness budget)
+"""
+
+__version__ = "0.1.0"

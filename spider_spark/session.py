@@ -1,0 +1,45 @@
+"""SparkSession factory tuned for the crawl workload.
+
+Design targets a 1000-executor cluster reading ~100 TB; the same confs are
+correct (if oversized) on local[N]:
+
+- AQE on (runtime coalescing, skew-join splitting, auto broadcast demotion).
+- Arrow on for every pandas-UDF boundary (the reference's C++ mappers become
+  vectorized Arrow batches, never per-row Python).
+- shuffle partitions sized for the local test box; production submits override
+  via ``spark.sql.shuffle.partitions`` / AQE advisory sizes.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app: str = "spider_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with the engine's standard confs."""
+    master = master or f"local[{DEFAULT_CPUS}]"
+    builder = (
+        SparkSession.builder.appName(app)
+        .master(master)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or 32))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

@@ -1,0 +1,234 @@
+"""URL primitives: canonicalization, fingerprints, host parsing, sharding.
+
+Semantics follow the reference's URL kernel (all cites into /root/reference):
+
+- ``NormalizeUrl``   crawler/crawler/api/base.cc:19-61 — trim, strip leading
+  %xx escapes, drop URLs longer than kMaxLinkSize=4096
+  (crawler/crawler/proto2/resource.proto:8-11), cut ``#fragment``, prepend
+  ``http://`` when schema-less, validity check.
+- ``AssignShardId``  crawler/crawler/api/base.cc:63-75 — 64-bit hash of the
+  canonical url mod shard count (reference uses CityHash64; we use Spark's
+  built-in ``xxhash64`` — same role, JVM-side, whole-stage-codegen'd; the
+  choice is documented in FIXTURES.md §hash-parity).
+- ``ReverseUrl``     crawler/crawler/api/base.cc:93-139 — host-segment
+  reversal ``news.sina.com.cn/x → cn.com.sina.news/x``; IPv4 hosts unchanged.
+- ``ParseHost``      crawler/crawler/api/base.cc:141-201 — host/domain split.
+
+Everything here is a pure column expression (JVM-side, codegen'd) — no Python
+in the hot path. The only pandas UDF is :func:`resolve_links_udf` which needs
+``urllib.parse.urljoin`` for relative-link resolution (ExtractHtml's
+GURL::Resolve, crawler/crawler/util/text_handler.cc:102-137).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import StringType
+
+MAX_URL_LEN = 4096  # kMaxLinkSize, resource.proto:8-11
+
+
+# --------------------------------------------------------------------------
+# Canonicalization (column expressions)
+# --------------------------------------------------------------------------
+
+def canonicalize_url(url: Column) -> Column:
+    """Canonical "click url": the engine's global document identity.
+
+    Rules (NormalizeUrl, api/base.cc:19-61, re-expressed declaratively):
+    1. trim surrounding whitespace
+    2. strip any leading percent-escape runs (``%20http://…``)
+    3. cut ``#fragment``
+    4. prepend ``http://`` when no scheme present
+    5. lowercase scheme+host (path/query case preserved)
+    6. strip default port ``:80`` (http) / ``:443`` (https)
+    7. drop trailing ``?`` with empty query
+    8. NULL out URLs longer than MAX_URL_LEN or with empty host
+    """
+    u = F.trim(url)
+    u = F.regexp_replace(u, r"^(?:%[0-9a-fA-F]{2})+", "")
+    u = F.regexp_replace(u, r"#.*$", "")
+    u = F.when(u.rlike(r"^[A-Za-z][A-Za-z0-9+.-]*://"), u).otherwise(
+        F.concat(F.lit("http://"), u)
+    )
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    rest = F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    hostport = F.regexp_extract(rest, r"^([^/?]*)", 1)
+    tail = F.substring(rest, F.length(hostport) + F.lit(1), F.lit(MAX_URL_LEN))
+    host = F.lower(F.regexp_replace(hostport, r":\d+$", ""))
+    port = F.regexp_extract(hostport, r":(\d+)$", 1)
+    keep_port = (port != "") & ~(
+        ((scheme == "http") & (port == "80"))
+        | ((scheme == "https") & (port == "443"))
+    )
+    hp = F.when(keep_port, F.concat(host, F.lit(":"), port)).otherwise(host)
+    # normalize empty path to '/', drop bare trailing '?'
+    tail = F.regexp_replace(tail, r"\?$", "")
+    tail = F.when(tail == "", F.lit("/")).otherwise(tail)
+    out = F.concat(scheme, F.lit("://"), hp, tail)
+    return F.when(
+        (F.length(out) <= MAX_URL_LEN) & (host != "") & (scheme != ""), out
+    ).otherwise(F.lit(None))
+
+
+def url_host(url: Column) -> Column:
+    """Lowercased host (no port) of a canonical url."""
+    return F.lower(
+        F.regexp_replace(
+            F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1),
+            r":\d+$",
+            "",
+        )
+    )
+
+
+def url_path(url: Column) -> Column:
+    """Path component (starts with '/', no query)."""
+    p = F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(/[^?#]*)", 1)
+    return F.when(p == "", F.lit("/")).otherwise(p)
+
+
+def url_query(url: Column) -> Column:
+    return F.regexp_extract(url, r"\?([^#]*)", 1)
+
+
+# --------------------------------------------------------------------------
+# Fingerprints & sharding
+# --------------------------------------------------------------------------
+
+def url_sign64(url: Column) -> Column:
+    """64-bit URL fingerprint (CalcUrlSign role; reference uses CityHash64 —
+    crawler/crawler2/general_crawler/scheduler.cc:289-314)."""
+    return F.xxhash64(url)
+
+
+def shard_id(url: Column, n_shards: int) -> Column:
+    """AssignShardId (api/base.cc:63-75): hash(click_url) % shards."""
+    return F.pmod(F.xxhash64(url), F.lit(n_shards)).cast("int")
+
+
+def host_bucket(host: Column, n_buckets: int) -> Column:
+    """Host-affinity partition key (schedule.cc:64-69: CityHash64(host)%n).
+    All URLs of one host land in one bucket — the politeness unit."""
+    return F.pmod(F.xxhash64(host), F.lit(n_buckets)).cast("int")
+
+
+def salted_bucket(host: Column, url: Column, n_buckets: int, n_salt: int,
+                  big_hosts: Column) -> Column:
+    """Skew-salted bucket: big hosts (robots/data_prepare.cc:86-135 pattern,
+    made deterministic) spread over ``n_salt`` sub-buckets keyed by url hash;
+    normal hosts keep pure host affinity."""
+    base = F.pmod(F.xxhash64(host), F.lit(n_buckets))
+    salt = F.when(big_hosts, F.pmod(F.xxhash64(url), F.lit(n_salt))).otherwise(
+        F.lit(0)
+    )
+    return F.pmod(base * n_salt + salt, F.lit(n_buckets * n_salt)).cast("int")
+
+
+# --------------------------------------------------------------------------
+# Host reversal & domain split
+# --------------------------------------------------------------------------
+
+def reverse_host(host: Column) -> Column:
+    """ReverseUrl host part (api/base.cc:93-139): dotted segments reversed;
+    IPv4 literals unchanged."""
+    rev = F.concat_ws(".", F.reverse(F.split(host, r"\.")))
+    is_ip = host.rlike(r"^\d{1,3}(\.\d{1,3}){3}$")
+    return F.when(is_ip, host).otherwise(rev)
+
+
+def reverse_url(url: Column) -> Column:
+    """Full reversed-url key (gen_hbase_key.h:20-26): reversed host + rest."""
+    host = url_host(url)
+    scheme = F.regexp_extract(url, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1)
+    rest = F.regexp_replace(url, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", "")
+    return F.concat(scheme, F.lit("://"), reverse_host(host), rest)
+
+
+_TWO_LEVEL_TLDS = (
+    "com.cn net.cn org.cn gov.cn edu.cn co.uk org.uk ac.uk co.jp or.jp "
+    "com.au net.au com.br com.tw com.hk"
+).split()
+
+
+def registered_domain(host: Column) -> Column:
+    """ParseHost's domain extraction (api/base.cc:141-201): the registrable
+    domain = last 2 labels, or last 3 when the 2-label suffix is a known
+    two-level public suffix (tld.dat role; list kept as data)."""
+    parts = F.split(host, r"\.")
+    n = F.size(parts)
+    last2 = F.concat_ws(".", F.slice(parts, n - 1, 2))
+    last3 = F.concat_ws(".", F.slice(parts, n - 2, 3))
+    is_two_level = last2.isin(_TWO_LEVEL_TLDS)
+    is_ip = host.rlike(r"^\d{1,3}(\.\d{1,3}){3}$")
+    return (
+        F.when(is_ip | (n <= 2), host)
+        .when(is_two_level & (n >= 3), last3)
+        .otherwise(last2)
+    )
+
+
+# --------------------------------------------------------------------------
+# URL filter rule book (P7, crawler_selector_util.cc:32-305) — rules as data
+# --------------------------------------------------------------------------
+
+BAD_PATH_SUFFIXES = [
+    ".exe", ".zip", ".rar", ".mp3", ".mp4", ".avi", ".apk", ".dmg", ".iso",
+    ".gz", ".tar", ".7z", ".pdf", ".doc", ".xls", ".ppt", ".swf",
+]
+BAD_QUERY_TOKENS = ["login", "register", "logout", "signup", "url=", "wd="]
+MAX_PATH_DEPTH = 10      # IsUrlPathValid, crawler_selector_util.cc:239-259
+MAX_QUERY_LEN = 1000     # IsUrlQueryValid, crawler_selector_util.cc:283-305
+
+
+def url_rule_filter(url: Column) -> Column:
+    """Boolean keep-predicate re-expressing WillFilterAccordingRules
+    (crawler_selector_util.cc:413): path-suffix blacklist, query-token
+    blacklist, path depth >= 10 drop, query > 1000B drop.
+    Host blacklists join against a broadcast rule table instead (see
+    politeness.robots_gate)."""
+    path = url_path(url)
+    query = F.lower(url_query(url))
+    lpath = F.lower(path)
+    bad_suffix = F.lit(False)
+    for s in BAD_PATH_SUFFIXES:
+        bad_suffix = bad_suffix | lpath.endswith(s)
+    bad_query = F.lit(False)
+    for t in BAD_QUERY_TOKENS:
+        bad_query = bad_query | query.contains(t)
+    depth = F.size(F.split(path, "/")) - 1
+    return (
+        ~bad_suffix
+        & ~bad_query
+        & (depth < MAX_PATH_DEPTH)
+        & (F.length(query) <= MAX_QUERY_LEN)
+    )
+
+
+# --------------------------------------------------------------------------
+# Relative-link resolution (the one pandas UDF in this module)
+# --------------------------------------------------------------------------
+
+@pandas_udf(StringType())
+def _urljoin_udf(base: pd.Series, link: pd.Series) -> pd.Series:
+    """Arrow-batched urljoin (GURL::Resolve role, text_handler.cc:116-128).
+    Vectorized over the batch with pandas string fast paths: absolute links
+    (the overwhelming majority in crawl data) bypass urljoin entirely."""
+    from urllib.parse import urljoin
+
+    out = link.copy()
+    absolute = link.str.match(r"^[A-Za-z][A-Za-z0-9+.-]*://", na=False)
+    rel_idx = out.index[~absolute & link.notna() & base.notna()]
+    if len(rel_idx):
+        out.loc[rel_idx] = [
+            urljoin(b, l) for b, l in zip(base.loc[rel_idx], link.loc[rel_idx])
+        ]
+    return out
+
+
+def resolve_link(base_url: Column, link: Column) -> Column:
+    """Resolve a possibly-relative link against its page URL."""
+    return _urljoin_udf(base_url, link)
