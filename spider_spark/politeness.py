@@ -1,0 +1,200 @@
+"""Politeness: robots gating, per-host QPS round assignment, failure holdon.
+
+Re-expresses the reference's LoadController + robots pipeline (cites into
+/root/reference):
+
+- robots levels 0..3 (disallow / no-robots / others-allow / explicit-allow)
+  and spider policy: the strict spider crawls only level ≥ 2, the permissive
+  one ignores robots — crawler/crawler/control/robots/
+  robots_parser_mapper.py:26-49,88-105; enum proto2/resource.proto:61-66.
+- skew-aware robots join: the reference replicates robots rows of
+  big-family hosts to every bucket and scatters their URLs randomly
+  (robots/data_prepare.cc:71-139). In Spark the robots dim is simply
+  **broadcast** — the skew workaround dissolves; the residual skew in
+  *stateful host-grouped* stages is handled by urlkit.salted_bucket.
+- LoadController (crawler/crawler/crawl/load_controller.h:18-52, .cc:149-242):
+  per-host/ip (max_qps, max_connections) with a QPS window check, holdon
+  after consecutive failures, drop at max_failed_times. Batch rendering:
+  each crawl round admits at most ``budget = qps × round_seconds`` URLs per
+  host, in priority order; hosts in holdon admit nothing; budgets come from
+  a broadcast config dim (host_load_control.txt role).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# LoadController defaults (load_controller.h:41-48)
+DEFAULT_QPS = 3.0
+DEFAULT_MAX_CONNECTIONS = 5
+HOLDON_FAILURES = 10       # consecutive failures → holdon
+HOLDON_SECONDS = 5
+MAX_FAILED_TIMES = 100     # drop host/ip
+
+ROBOTS_SCHEMA = T.StructType(
+    [
+        T.StructField("host", T.StringType(), False),
+        T.StructField("has_robots", T.BooleanType(), False),
+        T.StructField("allow_all", T.BooleanType(), False),
+        T.StructField("disallow_prefixes", T.ArrayType(T.StringType()), True),
+    ]
+)
+
+HOST_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("host", T.StringType(), False),
+        T.StructField("consec_failures", T.IntegerType(), False),
+        T.StructField("holdon_until_round", T.IntegerType(), False),
+        T.StructField("dropped", T.BooleanType(), False),
+    ]
+)
+
+
+@dataclass(frozen=True)
+class PolitenessSpec:
+    qps: float = DEFAULT_QPS
+    round_seconds: float = 5.0
+    holdon_failures: int = HOLDON_FAILURES
+    holdon_rounds: int = 1           # ≈ HOLDON_SECONDS / round_seconds
+    max_failed_times: int = MAX_FAILED_TIMES
+    robots_policy_level: int = 2     # strict spider: crawl level ≥ 2
+
+    @property
+    def default_budget(self) -> int:
+        return max(1, int(self.qps * self.round_seconds))
+
+
+# --------------------------------------------------------------------------
+# Robots gate (L6 + J2)
+# --------------------------------------------------------------------------
+
+def robots_level(urls: DataFrame, robots: DataFrame,
+                 host_col: str = "host", path_col: str = "path") -> DataFrame:
+    """Attach ``robots_level`` 0..3 per URL (robots_parser_mapper.py:88-105):
+    0 = explicitly disallowed, 1 = no robots.txt, 2 = allowed because others
+    are allowed (allow_all), 3 = explicitly allowed (no matching disallow in
+    a present robots file). Robots dim is broadcast; the prefix match is a
+    JVM-side ``exists`` over the prefix array — no Python."""
+    j = urls.join(F.broadcast(robots), host_col, "left")
+    disallowed = F.exists(
+        F.coalesce(F.col("disallow_prefixes"), F.array()),
+        lambda p: F.col(path_col).startswith(p),
+    )
+    level = (
+        F.when(F.col("has_robots").isNull() | ~F.col("has_robots"), 1)
+        .when(disallowed, 0)
+        .when(F.col("allow_all"), 2)
+        .otherwise(3)
+    )
+    return j.withColumn("robots_level", level).drop(
+        "has_robots", "allow_all", "disallow_prefixes"
+    )
+
+
+def robots_gate(urls_with_level: DataFrame, policy_level: int = 2) -> DataFrame:
+    """Strict-spider policy: keep robots_level ≥ policy (1 = no-robots hosts
+    pass only permissive policy; the reference's RushSpider uses 0)."""
+    return urls_with_level.filter(F.col("robots_level") >= policy_level)
+
+
+# --------------------------------------------------------------------------
+# Round admission (L1 as window math)
+# --------------------------------------------------------------------------
+
+def admit_round(candidates: DataFrame, host_state: DataFrame,
+                budgets: DataFrame | None, spec: PolitenessSpec,
+                round_no: int) -> DataFrame:
+    """Split this round's candidates into admitted vs carryover.
+
+    Per host: order by (priority asc, score desc, url asc) — the frontier's
+    total order — and admit the first ``budget`` rows. Hosts holding on
+    (consec_failures ≥ threshold until holdon_until_round) or dropped admit
+    nothing. Adds ``admitted`` boolean; caller splits.
+
+    Scale: the window shuffle is partitioned by host — the same partitioning
+    the seen-probe and the fetch stage use, so AQE reuses the exchange. Skew
+    (mega-hosts) is bounded because the admitted set per host ≤ budget and
+    the carryover tail is cut by per_host_topk upstream.
+    """
+    c = candidates.join(F.broadcast(host_state), "host", "left")
+    if budgets is not None:
+        c = c.join(F.broadcast(budgets), "host", "left")
+        budget_col = F.coalesce(F.col("budget"), F.lit(spec.default_budget))
+    else:
+        budget_col = F.lit(spec.default_budget)
+    w = Window.partitionBy("host").orderBy(
+        F.asc("priority"), F.desc("score"), F.asc("url")
+    )
+    blocked = (
+        F.coalesce(F.col("dropped"), F.lit(False))
+        | (F.coalesce(F.col("holdon_until_round"), F.lit(-1)) >= round_no)
+    )
+    out = c.withColumn("rn", F.row_number().over(w)).withColumn(
+        "admitted", ~blocked & (F.col("rn") <= budget_col)
+    )
+    drop_cols = ["rn", "consec_failures", "holdon_until_round", "dropped"]
+    if budgets is not None:
+        drop_cols.append("budget")
+    return out.drop(*drop_cols)
+
+
+def update_host_state(host_state: DataFrame, fetch_results: DataFrame,
+                      spec: PolitenessSpec, round_no: int) -> DataFrame:
+    """Fold a round's per-host fetch outcomes into the politeness state
+    (load_controller.cc:204-242 semantics at batch granularity): a round
+    that ends in failures for a host extends its consecutive-failure run;
+    any success resets it; runs ≥ holdon threshold put the host on holdon;
+    runs ≥ max_failed_times drop it."""
+    per_host = fetch_results.groupBy("host").agg(
+        F.max(F.when(F.col("success"), 1).otherwise(0)).alias("any_success"),
+        F.sum(F.when(~F.col("success"), 1).otherwise(0)).alias("failures"),
+    )
+    merged = host_state.join(per_host, "host", "full")
+    consec = F.when(
+        F.coalesce(F.col("any_success"), F.lit(0)) == 1, F.lit(0)
+    ).otherwise(
+        F.coalesce(F.col("consec_failures"), F.lit(0))
+        + F.coalesce(F.col("failures"), F.lit(0)).cast("int")
+    )
+    holdon = F.when(
+        consec >= spec.holdon_failures, F.lit(round_no + spec.holdon_rounds)
+    ).otherwise(F.coalesce(F.col("holdon_until_round"), F.lit(-1)))
+    dropped = F.coalesce(F.col("dropped"), F.lit(False)) | (
+        consec >= spec.max_failed_times
+    )
+    return merged.select(
+        F.col("host"),
+        consec.cast("int").alias("consec_failures"),
+        holdon.cast("int").alias("holdon_until_round"),
+        dropped.alias("dropped"),
+    )
+
+
+def init_host_state(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame([], HOST_STATE_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# Synthetic robots dim (deterministic; for tests & bench)
+# --------------------------------------------------------------------------
+
+def synthetic_robots(spark: SparkSession, n_hosts: int,
+                     seed: int = 42) -> DataFrame:
+    """Deterministic robots rules over the generator's host universe:
+    every 7th host disallows ``/p/1``-prefixed paths, every 13th host has no
+    robots.txt, the rest allow all. Pure column math — reproducible in the
+    Python simulator and in the DuckDB oracle."""
+    h = spark.range(n_hosts).select(
+        F.concat(F.lit("host"), F.col("id").cast("string"),
+                 F.lit(".example.com")).alias("host"),
+        (F.col("id") % 13 != 0).alias("has_robots"),
+        (F.col("id") % 7 != 0).alias("allow_all"),
+        F.when(F.col("id") % 7 == 0, F.array(F.lit("/p/1")))
+        .otherwise(F.array().cast("array<string>"))
+        .alias("disallow_prefixes"),
+    )
+    return h

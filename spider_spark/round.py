@@ -1,0 +1,310 @@
+"""The micro-batch crawl round: the engine's flagship pipeline.
+
+One round re-expresses the reference's full batch cycle (SURVEY.md §3.1,
+prepare_crawl_data.sh → run_schedule.sh → fetchers → merges) and the online
+queue cycle (§3.2, scheduler.cc:316-438) as ONE DataFrame DAG per round,
+with durable state between rounds:
+
+    frontier ──(seen-probe: Bloom shards + exact confirm)──▶ unseen
+      unseen ──(politeness admission per host budget)──▶ admitted ∪ carry
+    admitted ──(simulated fetch over the documents table)──▶ results
+     results ──(span outlink extraction → canonicalize → rules → robots
+                → depth cap → in-batch dedup)──▶ new candidates
+    frontier' = carry ∪ new;   seen' += admitted;   linkbase += results
+
+State tables checkpointed per round (parquet dirs laid out Iceberg-style —
+snapshot-per-round with a JSON lineage manifest; production target is an
+Iceberg catalog, the layout keys are identical):
+
+    {ckpt}/round=NNNN/{frontier,seen_state,host_state}/   + linkbase/round=NNNN/
+    {ckpt}/round=NNNN/manifest.json    (lineage + metrics; commit marker)
+
+Resume = read the highest round with a manifest (donelist protocol role,
+link_merge.sh:30-57).
+
+Determinism: no wall clock, no rand() — the round counter is the logical
+time (the reference's µs timestamps, crawl_info.proto:10-15, become
+``round_no``), every tie is broken by url ordering, and the simulated fetch
+is a pure function of the documents table.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from . import politeness as pol
+from . import urlkit
+from .seen import BloomShards, BloomSpec
+from .spans import extract_outlinks
+
+FRONTIER_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("host", T.StringType(), False),
+        T.StructField("depth", T.IntegerType(), False),
+        T.StructField("referer", T.StringType(), True),
+    ]
+)
+
+
+@dataclass(frozen=True)
+class RoundSpec:
+    """Knobs of one crawl run. Defaults mirror the reference's deployed
+    config (BASELINE.md §A)."""
+
+    n_buckets: int = 32
+    max_depth: int = 4           # extractor depth gate, url.proto:9-11
+    max_rounds: int = 50
+    politeness: pol.PolitenessSpec = field(default_factory=pol.PolitenessSpec)
+    bloom: BloomSpec = field(default_factory=BloomSpec)
+    confirm_hits: bool = True    # verify Bloom hits with an exact join
+    seed: int = 42
+
+
+def score_expr(depth):
+    """Frontier score: UV-style importance decaying with depth. Pure
+    function of depth so the Python simulator reproduces it exactly."""
+    return F.lit(1000.0) / (depth.cast("double") + F.lit(1.0))
+
+
+def band_base(score):
+    """Deterministic priority band (scheduler.cc:192-205 thresholds, band
+    base without the in-band random spread — determinism rule §4)."""
+    return (
+        F.when(score >= 500, 0)
+        .when(score >= 100, 10)
+        .when(score >= 10, 30)
+        .otherwise(50)
+    ).cast("int")
+
+
+class CrawlRun:
+    """Drives crawl rounds over a documents table with durable checkpoints."""
+
+    def __init__(self, spark: SparkSession, docs: DataFrame, robots: DataFrame,
+                 ckpt_dir: str, spec: RoundSpec = RoundSpec(),
+                 budgets: DataFrame | None = None):
+        self.spark = spark
+        self.spec = spec
+        self.ckpt = ckpt_dir
+        self.robots = robots
+        self.budgets = budgets
+        self.bloom = BloomShards(spec.bloom)
+        # Pre-extract the adjacency once: (doc_id, outlink). At scale this
+        # is the Iceberg documents table scanned with column pruning (spans
+        # only); the extraction is JVM-side higher-order functions.
+        self.docs = docs
+        self.adjacency = extract_outlinks(docs)
+        self.doc_urls = docs.select(F.col("doc_id").alias("url")).distinct()
+
+    # -- candidate hygiene: one place that turns raw urls into frontier rows
+    def _prepare_candidates(self, urls: DataFrame) -> DataFrame:
+        """canonicalize → rule filter → robots gate → frontier columns.
+        ``urls`` needs (url, depth, referer)."""
+        c = urls.withColumn("url", urlkit.canonicalize_url(F.col("url")))
+        c = c.filter(F.col("url").isNotNull())
+        c = c.filter(urlkit.url_rule_filter(F.col("url")))
+        c = c.withColumn("host", urlkit.url_host(F.col("url")))
+        c = c.withColumn("path", urlkit.url_path(F.col("url")))
+        c = pol.robots_level(c, self.robots)
+        c = pol.robots_gate(c, self.spec.politeness.robots_policy_level)
+        c = c.filter(F.col("depth") <= self.spec.max_depth)
+        return c.select("url", "host", "depth", "referer")
+
+    def _with_keys(self, frontier: DataFrame) -> DataFrame:
+        score = score_expr(F.col("depth"))
+        return (
+            frontier.withColumn("sign", urlkit.url_sign64(F.col("url")))
+            .withColumn("bucket", urlkit.host_bucket(F.col("host"),
+                                                     self.spec.n_buckets))
+            .withColumn("score", score)
+            .withColumn("priority", band_base(score))
+        )
+
+    # -- per-round paths ----------------------------------------------------
+
+    def _round_dir(self, r: int) -> str:
+        return os.path.join(self.ckpt, f"round={r:04d}")
+
+    def _write(self, df: DataFrame, r: int, name: str) -> None:
+        df.write.mode("overwrite").parquet(
+            os.path.join(self._round_dir(r), name)
+        )
+
+    def _read(self, r: int, name: str) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self._round_dir(r), name))
+
+    def last_committed_round(self) -> int | None:
+        if not os.path.isdir(self.ckpt):
+            return None
+        rounds = []
+        for d in os.listdir(self.ckpt):
+            mf = os.path.join(self.ckpt, d, "manifest.json")
+            if d.startswith("round=") and os.path.exists(mf):
+                rounds.append(int(d.split("=")[1]))
+        return max(rounds) if rounds else None
+
+    # -- the round ------------------------------------------------------------
+
+    def bootstrap(self, seeds: DataFrame) -> None:
+        """Round -1: install seeds as the initial frontier (from='U' seeds,
+        mr_selector_r1_mapper.cc seed case)."""
+        cand = self._prepare_candidates(
+            seeds.select(
+                F.col("url"), F.lit(0).alias("depth"),
+                F.lit(None).cast("string").alias("referer")
+            )
+        )
+        cand = cand.groupBy("url", "host").agg(
+            F.min("depth").alias("depth"), F.min("referer").alias("referer")
+        )
+        self._write(cand, 0, "frontier")
+        self._write(
+            self.bloom.init_state(self.spark, self.spec.n_buckets), 0,
+            "seen_state",
+        )
+        self._write(pol.init_host_state(self.spark), 0, "host_state")
+        # empty linkbase
+        empty_lb = self.spark.createDataFrame(
+            [], "url string, host string, depth int, round int, success boolean"
+        )
+        self._write(empty_lb, 0, "linkbase")
+        self._manifest(0, {"seeded": True, "frontier": cand.count()})
+
+    def _manifest(self, r: int, extra: dict) -> None:
+        path = os.path.join(self._round_dir(r), "manifest.json")
+        with open(path, "w") as f:
+            json.dump({"round": r, **extra}, f, indent=1, sort_keys=True)
+
+    def run_round(self, r: int) -> dict:
+        """Execute round r reading state from round r's dir, writing r+1."""
+        frontier = self._with_keys(self._read(r, "frontier"))
+        seen_state = self._read(r, "seen_state")
+        host_state = self._read(r, "host_state")
+        linkbase = self._read(r, "linkbase")
+
+        # 1. seen-probe: Bloom shards; hits confirmed exactly against the
+        #    linkbase (so FPs cost one small join, never correctness).
+        probed = self.bloom.probe(frontier, seen_state)
+        if self.spec.confirm_hits:
+            hits = probed.filter(F.col("maybe_seen"))
+            fps = hits.join(linkbase.select("url"), "url", "left_anti")
+            unseen = probed.filter(~F.col("maybe_seen")).unionByName(fps)
+        else:
+            unseen = probed.filter(~F.col("maybe_seen"))
+        unseen = unseen.drop("maybe_seen")
+
+        # 2. politeness admission
+        adm = pol.admit_round(
+            unseen, host_state, self.budgets, self.spec.politeness, r
+        )
+        admitted = adm.filter(F.col("admitted")).drop("admitted")
+        carry = adm.filter(~F.col("admitted")).drop("admitted")
+
+        # 3. simulated fetch (L4): success iff the url exists in the
+        #    documents table — a left join, partitioned by the same host
+        #    bucketing at scale.
+        fetched = admitted.join(
+            self.doc_urls.withColumn("exists", F.lit(True)), "url", "left"
+        ).withColumn("success", F.coalesce(F.col("exists"), F.lit(False))
+        ).drop("exists")
+
+        # 4. outlink extraction from fetched pages (E1-E3 over spans)
+        new_links = (
+            fetched.filter(F.col("success"))
+            .select(F.col("url").alias("referer_url"))
+            .join(
+                self.adjacency,
+                F.col("referer_url") == F.col("doc_id"),
+                "inner",
+            )
+            .select(
+                F.col("outlink").alias("url"),
+                F.col("referer_url").alias("referer"),
+            )
+        )
+        parent_depth = fetched.select(
+            F.col("url").alias("referer"), F.col("depth").alias("pdepth")
+        )
+        new_cand = self._prepare_candidates(
+            new_links.join(parent_depth, "referer", "inner").select(
+                "url", (F.col("pdepth") + 1).alias("depth"), "referer"
+            )
+        )
+
+        # 5. next frontier = carry ∪ new, minus just-admitted, deduped by
+        #    url keeping min depth (deterministic referer = min by url).
+        nxt = (
+            carry.select("url", "host", "depth", "referer")
+            .unionByName(new_cand)
+            .join(admitted.select("url"), "url", "left_anti")
+        )
+        nxt = (
+            nxt.groupBy("url", "host")
+            .agg(F.min("depth").alias("depth"), F.min("referer").alias("referer"))
+        )
+
+        # 6. state updates
+        new_seen = self.bloom.update(
+            admitted.select("bucket", "sign"), seen_state
+        )
+        new_host_state = pol.update_host_state(
+            host_state, fetched.select("host", "success"),
+            self.spec.politeness, r,
+        )
+        lb_add = fetched.select(
+            "url", "host", "depth", F.lit(r).alias("round"), "success"
+        )
+        new_lb = linkbase.unionByName(lb_add)
+
+        # 7. commit round r+1 (write, then manifest = commit marker)
+        self._write(nxt, r + 1, "frontier")
+        self._write(new_seen, r + 1, "seen_state")
+        self._write(new_host_state, r + 1, "host_state")
+        self._write(new_lb, r + 1, "linkbase")
+
+        admitted_urls = sorted(
+            row["url"] for row in fetched.select("url").collect()
+        )
+        metrics = {
+            "admitted": len(admitted_urls),
+            "frontier_next": nxt.count(),
+            "linkbase": new_lb.count(),
+        }
+        self._manifest(r + 1, {"metrics": metrics})
+        return {"round": r, "admitted_urls": admitted_urls, **metrics}
+
+    def run(self, seeds: DataFrame, resume: bool = False) -> list[dict]:
+        """Run to frontier exhaustion (or max_rounds). Returns the ordering
+        witness: per round, the sorted admitted-url batch."""
+        start = 0
+        if resume:
+            last = self.last_committed_round()
+            if last is None:
+                self.bootstrap(seeds)
+            else:
+                start = last
+        else:
+            self.bootstrap(seeds)
+        out = []
+        for r in range(start, self.spec.max_rounds):
+            res = self.run_round(r)
+            out.append(res)
+            if res["frontier_next"] == 0 and res["admitted"] == 0:
+                break
+            if res["admitted"] == 0 and res["frontier_next"] > 0:
+                # every remaining host blocked/held — advance the clock
+                continue
+        return out
+
+    def seen_urls(self) -> list[str]:
+        """Final URL-seen set (from the authoritative linkbase)."""
+        r = self.last_committed_round()
+        lb = self._read(r, "linkbase")
+        return sorted(row["url"] for row in lb.select("url").distinct().collect())

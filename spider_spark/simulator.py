@@ -1,0 +1,202 @@
+"""Pure-Python reference simulator: the correctness oracle for crawl rounds.
+
+Encodes the same batch-granularity semantics as :mod:`spider_spark.round`
+— seen-set, robots gate, per-host budget admission, failure holdon — in
+straight-line Python over an in-memory adjacency list. The north-rule
+contract is equality of (round → admitted-url batch) sequences and of the
+final URL-seen set between this simulator and the Spark engine under the
+same seed list + politeness budget.
+
+The simulator takes the *data* (adjacency, robots rules, budgets) as plain
+dicts, shares zero code with the Spark path (independent twin, mirroring
+the reference's own load_controller semantics, crawler/crawler/crawl/
+load_controller.cc:149-242 at batch granularity), and is intentionally
+naive — correctness over speed.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from urllib.parse import urlsplit
+
+BAD_PATH_SUFFIXES = (
+    ".exe", ".zip", ".rar", ".mp3", ".mp4", ".avi", ".apk", ".dmg", ".iso",
+    ".gz", ".tar", ".7z", ".pdf", ".doc", ".xls", ".ppt", ".swf",
+)
+BAD_QUERY_TOKENS = ("login", "register", "logout", "signup", "url=", "wd=")
+MAX_PATH_DEPTH = 10
+MAX_QUERY_LEN = 1000
+MAX_URL_LEN = 4096
+
+
+def canonicalize(url: str) -> str | None:
+    """Independent twin of urlkit.canonicalize_url (same rule book,
+    different implementation: urllib-based)."""
+    u = url.strip()
+    while len(u) >= 3 and u[0] == "%" and all(
+        c in "0123456789abcdefABCDEF" for c in u[1:3]
+    ):
+        u = u[3:]
+    u = u.split("#", 1)[0]
+    import re
+
+    if not re.match(r"^[A-Za-z][A-Za-z0-9+.-]*://", u):
+        u = "http://" + u
+    parts = urlsplit(u)
+    scheme = parts.scheme.lower()
+    host = (parts.hostname or "").lower()
+    port = parts.port
+    if port and not (
+        (scheme == "http" and port == 80) or (scheme == "https" and port == 443)
+    ):
+        hostport = f"{host}:{port}"
+    else:
+        hostport = host
+    path = parts.path or "/"
+    out = f"{scheme}://{hostport}{path}"
+    if parts.query:
+        out += "?" + parts.query
+    if len(out) > MAX_URL_LEN or not host or not scheme:
+        return None
+    return out
+
+
+def rule_filter(url: str) -> bool:
+    parts = urlsplit(url)
+    path, query = (parts.path or "/").lower(), parts.query.lower()
+    if any(path.endswith(s) for s in BAD_PATH_SUFFIXES):
+        return False
+    if any(t in query for t in BAD_QUERY_TOKENS):
+        return False
+    if path.count("/") >= MAX_PATH_DEPTH:
+        return False
+    if len(parts.query) > MAX_QUERY_LEN:
+        return False
+    return True
+
+
+@dataclass
+class SimRobots:
+    """host → (has_robots, allow_all, disallow_prefixes)."""
+
+    rules: dict[str, tuple[bool, bool, list[str]]] = field(default_factory=dict)
+
+    def level(self, host: str, path: str) -> int:
+        rec = self.rules.get(host)
+        if rec is None or not rec[0]:
+            return 1
+        _, allow_all, prefixes = rec
+        if any(path.startswith(p) for p in prefixes):
+            return 0
+        return 2 if allow_all else 3
+
+
+@dataclass
+class SimSpec:
+    default_budget: int = 15
+    budgets: dict[str, int] = field(default_factory=dict)
+    max_depth: int = 4
+    max_rounds: int = 50
+    policy_level: int = 2
+    holdon_failures: int = 10
+    holdon_rounds: int = 1
+    max_failed_times: int = 100
+
+
+def simulate(
+    seeds: list[str],
+    adjacency: dict[str, list[str]],
+    robots: SimRobots,
+    spec: SimSpec,
+) -> dict:
+    """Run the crawl to exhaustion. Returns
+    {"rounds": [sorted admitted urls per round], "seen": sorted seen urls}.
+    """
+
+    def host_path(url: str) -> tuple[str, str]:
+        p = urlsplit(url)
+        return (p.hostname or "").lower(), p.path or "/"
+
+    def prepare(raw: list[tuple[str, int, str | None]]):
+        """(url, depth, referer) → admitted-to-frontier rows."""
+        out = []
+        for url, depth, ref in raw:
+            c = canonicalize(url)
+            if c is None or not rule_filter(c):
+                continue
+            host, path = host_path(c)
+            if robots.level(host, path) < spec.policy_level:
+                continue
+            if depth > spec.max_depth:
+                continue
+            out.append((c, host, depth, ref))
+        return out
+
+    # frontier: url → (host, depth)  (min depth wins)
+    frontier: dict[str, tuple[str, int]] = {}
+
+    def add(rows):
+        for url, host, depth, _ref in rows:
+            cur = frontier.get(url)
+            if cur is None or depth < cur[1]:
+                frontier[url] = (host, depth)
+
+    add(prepare([(u, 0, None) for u in seeds]))
+    seen: set[str] = set()
+    consec: dict[str, int] = {}
+    holdon_until: dict[str, int] = {}
+    dropped: set[str] = set()
+    rounds: list[list[str]] = []
+
+    for r in range(spec.max_rounds):
+        # dedupe vs seen
+        for u in [u for u in frontier if u in seen]:
+            del frontier[u]
+        # per-host admission
+        by_host: dict[str, list[tuple[int, float, str]]] = {}
+        for url, (host, depth) in frontier.items():
+            score = 1000.0 / (depth + 1)
+            pri = 0 if score >= 500 else 10 if score >= 100 else \
+                30 if score >= 10 else 50
+            by_host.setdefault(host, []).append((pri, -score, url))
+        admitted: list[tuple[str, str, int]] = []
+        for host, rows in by_host.items():
+            if host in dropped or holdon_until.get(host, -1) >= r:
+                continue
+            rows.sort()
+            b = spec.budgets.get(host, spec.default_budget)
+            for pri, negscore, url in rows[:b]:
+                admitted.append((url, host, frontier[url][1]))
+        rounds.append(sorted(u for u, _, _ in admitted))
+
+        # fetch + host state
+        new_raw: list[tuple[str, int, str | None]] = []
+        host_success: dict[str, bool] = {}
+        host_fail: dict[str, int] = {}
+        for url, host, depth in admitted:
+            seen.add(url)
+            del frontier[url]
+            if url in adjacency:
+                host_success[host] = True
+                for link in adjacency[url]:
+                    new_raw.append((link, depth + 1, url))
+            else:
+                host_fail[host] = host_fail.get(host, 0) + 1
+        for host in set(list(host_success) + list(host_fail)):
+            if host_success.get(host):
+                consec[host] = 0
+            else:
+                consec[host] = consec.get(host, 0) + host_fail.get(host, 0)
+                if consec[host] >= spec.holdon_failures:
+                    holdon_until[host] = r + spec.holdon_rounds
+                if consec[host] >= spec.max_failed_times:
+                    dropped.add(host)
+
+        add([x for x in prepare(new_raw) if x[0] not in seen])
+        if not frontier and not admitted:
+            break
+
+    # strip trailing empty rounds (clock ticks with no admissions)
+    while rounds and not rounds[-1]:
+        rounds.pop()
+    return {"rounds": rounds, "seen": sorted(seen)}
