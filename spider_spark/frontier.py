@@ -91,18 +91,18 @@ def batch_priority_band(frontier: DataFrame, score_col: str = "uv",
     tera-sort algorithm the reference shells out to, sort.sh:24-31)."""
     w = Window.orderBy(F.desc(score_col), F.asc(tiebreak))
     pr = F.percent_rank().over(w)
-    bounds = []
+    band = None
     acc = 0.0
-    for r in BATCH_BAND_RATIOS:
-        acc += r
-        bounds.append(acc)
-    band = (
-        F.when(pr <= F.lit(bounds[0]), 5)
-        .when(pr <= F.lit(bounds[1]), 4)
-        .when(pr <= F.lit(bounds[2]), 3)
-        .when(pr <= F.lit(bounds[3]), 2)
-        .otherwise(1)
+    lowest_nonzero = next(
+        5 - i for i in reversed(range(5)) if BATCH_BAND_RATIOS[i] > 0
     )
+    for i, ratio in enumerate(BATCH_BAND_RATIOS):
+        acc += ratio
+        if ratio == 0.0:
+            continue  # zero-width band admits no rows
+        cond = pr <= F.lit(acc)
+        band = F.when(cond, 5 - i) if band is None else band.when(cond, 5 - i)
+    band = band.otherwise(lowest_nonzero)
     return frontier.withColumn("priority", band)
 
 

@@ -109,9 +109,18 @@ class CrawlRun:
         ``urls`` needs (url, depth, referer)."""
         c = urls.withColumn("url", urlkit.canonicalize_url(F.col("url")))
         c = c.filter(F.col("url").isNotNull())
-        c = c.filter(urlkit.url_rule_filter(F.col("url")))
-        c = c.withColumn("host", urlkit.url_host(F.col("url")))
-        c = c.withColumn("path", urlkit.url_path(F.col("url")))
+        # post-UDF the url is a plain attribute; host/path/query are single
+        # regexp_extracts computed once as named columns (keeps the plan flat)
+        c = c.withColumns(
+            {
+                "host": urlkit.url_host(F.col("url")),
+                "path": urlkit.url_path(F.col("url")),
+                "query": urlkit.url_query(F.col("url")),
+            }
+        )
+        c = c.filter(
+            urlkit.url_rule_filter(F.col("url"), F.col("path"), F.col("query"))
+        )
         c = pol.robots_level(c, self.robots)
         c = pol.robots_gate(c, self.spec.politeness.robots_policy_level)
         c = c.filter(F.col("depth") <= self.spec.max_depth)
@@ -200,10 +209,12 @@ class CrawlRun:
             unseen = probed.filter(~F.col("maybe_seen"))
         unseen = unseen.drop("maybe_seen")
 
-        # 2. politeness admission
+        # 2. politeness admission. The admission split feeds four consumers
+        #    (fetch, carryover, seen-update, metrics) — cache it so the
+        #    probe subtree (python workers + shuffles) runs once per round.
         adm = pol.admit_round(
             unseen, host_state, self.budgets, self.spec.politeness, r
-        )
+        ).cache()
         admitted = adm.filter(F.col("admitted")).drop("admitted")
         carry = adm.filter(~F.col("admitted")).drop("admitted")
 
@@ -213,7 +224,7 @@ class CrawlRun:
         fetched = admitted.join(
             self.doc_urls.withColumn("exists", F.lit(True)), "url", "left"
         ).withColumn("success", F.coalesce(F.col("exists"), F.lit(False))
-        ).drop("exists")
+        ).drop("exists").cache()
 
         # 4. outlink extraction from fetched pages (E1-E3 over spans)
         new_links = (
@@ -274,9 +285,11 @@ class CrawlRun:
         )
         metrics = {
             "admitted": len(admitted_urls),
-            "frontier_next": nxt.count(),
-            "linkbase": new_lb.count(),
+            "frontier_next": self._read(r + 1, "frontier").count(),
+            "linkbase": self._read(r + 1, "linkbase").count(),
         }
+        adm.unpersist()
+        fetched.unpersist()
         self._manifest(r + 1, {"metrics": metrics})
         return {"round": r, "admitted_urls": admitted_urls, **metrics}
 

@@ -13,10 +13,28 @@ correct (if oversized) on local[N]:
 from __future__ import annotations
 
 import os
+import shutil
+import tempfile
 
 from pyspark.sql import SparkSession
 
 DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Ship this package to executor Python workers (the spark-submit
+    --py-files role, done programmatically so a plain ``python script.py``
+    from any cwd works too). Idempotent per session."""
+    if getattr(spark, "_spider_shipped", False):
+        return
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    base = os.path.join(tempfile.gettempdir(),
+                        f"spider_spark_pyfiles_{os.getpid()}")
+    zip_path = shutil.make_archive(base, "zip",
+                                   root_dir=os.path.dirname(pkg_dir),
+                                   base_dir=os.path.basename(pkg_dir))
+    spark.sparkContext.addPyFile(zip_path)
+    spark._spider_shipped = True
 
 
 def get_spark(
@@ -42,4 +60,6 @@ def get_spark(
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    _ship_package(spark)
+    return spark

@@ -42,10 +42,13 @@ def canonicalize(url: str) -> str | None:
 
     if not re.match(r"^[A-Za-z][A-Za-z0-9+.-]*://", u):
         u = "http://" + u
-    parts = urlsplit(u)
-    scheme = parts.scheme.lower()
-    host = (parts.hostname or "").lower()
-    port = parts.port
+    try:
+        parts = urlsplit(u)
+        scheme = parts.scheme.lower()
+        host = (parts.hostname or "").lower()
+        port = parts.port
+    except ValueError:
+        return None  # unparseable authority (e.g. non-numeric port)
     if port and not (
         (scheme == "http" and port == 80) or (scheme == "https" and port == 443)
     ):
@@ -58,6 +61,8 @@ def canonicalize(url: str) -> str | None:
         out += "?" + parts.query
     if len(out) > MAX_URL_LEN or not host or not scheme:
         return None
+    if not re.match(r"^[a-z0-9_-]+(\.[a-z0-9_-]+)*$", host):
+        return None  # GURL-validity role (api/base.cc:59)
     return out
 
 

@@ -35,43 +35,61 @@ MAX_URL_LEN = 4096  # kMaxLinkSize, resource.proto:8-11
 # Canonicalization (column expressions)
 # --------------------------------------------------------------------------
 
+@pandas_udf(StringType())
+def _canonicalize_udf(url: pd.Series) -> pd.Series:
+    """Vectorized canonicalizer (pandas string kernels over the Arrow batch —
+    no per-row Python). A deliberate pandas UDF rather than a column
+    expression: the staged rule book re-inlined as one Catalyst expression
+    tree blows up codegen (each alias duplicates its whole subtree), while
+    here it is one opaque vectorized kernel and an optimizer barrier that
+    keeps downstream plans small.
+    """
+    u = url.str.strip()
+    u = u.str.replace(r"^(?:%[0-9a-fA-F]{2})+", "", regex=True)
+    u = u.str.replace(r"#.*$", "", regex=True)
+    has_scheme = u.str.match(r"^[A-Za-z][A-Za-z0-9+.-]*://", na=False)
+    u = u.where(has_scheme, "http://" + u)
+    parts = u.str.extract(
+        r"^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(?:\?([^#]*))?"
+    )
+    scheme = parts[0].str.lower()
+    hostport = parts[1].fillna("")
+    path, query = parts[2], parts[3]
+    host = hostport.str.replace(r":\d+$", "", regex=True).str.lower()
+    port = hostport.str.extract(r":(\d+)$")[0]
+    default_port = ((scheme == "http") & (port == "80")) | (
+        (scheme == "https") & (port == "443")
+    )
+    keep_port = port.notna() & ~default_port
+    hp = host.where(~keep_port, host + ":" + port.fillna(""))
+    path = path.fillna("")
+    path = path.where(path != "", "/")
+    out = scheme + "://" + hp + path
+    has_query = query.notna() & (query != "")
+    out = out.where(~has_query, out + "?" + query.fillna(""))
+    # GURL-validity role (api/base.cc:59): host must be a dotted name or
+    # IPv4 literal — no spaces/garbage
+    host_ok = host.str.match(r"^[a-z0-9_-]+(\.[a-z0-9_-]+)*$", na=False)
+    bad = host.isna() | (host == "") | ~host_ok | scheme.isna() | (
+        out.str.len() > MAX_URL_LEN
+    )
+    return out.mask(bad)
+
+
 def canonicalize_url(url: Column) -> Column:
     """Canonical "click url": the engine's global document identity.
 
-    Rules (NormalizeUrl, api/base.cc:19-61, re-expressed declaratively):
+    Rules (NormalizeUrl, api/base.cc:19-61):
     1. trim surrounding whitespace
     2. strip any leading percent-escape runs (``%20http://…``)
     3. cut ``#fragment``
     4. prepend ``http://`` when no scheme present
     5. lowercase scheme+host (path/query case preserved)
     6. strip default port ``:80`` (http) / ``:443`` (https)
-    7. drop trailing ``?`` with empty query
+    7. drop trailing ``?`` with empty query; empty path → ``/``
     8. NULL out URLs longer than MAX_URL_LEN or with empty host
     """
-    u = F.trim(url)
-    u = F.regexp_replace(u, r"^(?:%[0-9a-fA-F]{2})+", "")
-    u = F.regexp_replace(u, r"#.*$", "")
-    u = F.when(u.rlike(r"^[A-Za-z][A-Za-z0-9+.-]*://"), u).otherwise(
-        F.concat(F.lit("http://"), u)
-    )
-    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
-    rest = F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.-]*://", "")
-    hostport = F.regexp_extract(rest, r"^([^/?]*)", 1)
-    tail = F.substring(rest, F.length(hostport) + F.lit(1), F.lit(MAX_URL_LEN))
-    host = F.lower(F.regexp_replace(hostport, r":\d+$", ""))
-    port = F.regexp_extract(hostport, r":(\d+)$", 1)
-    keep_port = (port != "") & ~(
-        ((scheme == "http") & (port == "80"))
-        | ((scheme == "https") & (port == "443"))
-    )
-    hp = F.when(keep_port, F.concat(host, F.lit(":"), port)).otherwise(host)
-    # normalize empty path to '/', drop bare trailing '?'
-    tail = F.regexp_replace(tail, r"\?$", "")
-    tail = F.when(tail == "", F.lit("/")).otherwise(tail)
-    out = F.concat(scheme, F.lit("://"), hp, tail)
-    return F.when(
-        (F.length(out) <= MAX_URL_LEN) & (host != "") & (scheme != ""), out
-    ).otherwise(F.lit(None))
+    return _canonicalize_udf(url)
 
 
 def url_host(url: Column) -> Column:
@@ -184,14 +202,20 @@ MAX_PATH_DEPTH = 10      # IsUrlPathValid, crawler_selector_util.cc:239-259
 MAX_QUERY_LEN = 1000     # IsUrlQueryValid, crawler_selector_util.cc:283-305
 
 
-def url_rule_filter(url: Column) -> Column:
+def url_rule_filter(url: Column, path: Column | None = None,
+                    query: Column | None = None) -> Column:
     """Boolean keep-predicate re-expressing WillFilterAccordingRules
     (crawler_selector_util.cc:413): path-suffix blacklist, query-token
     blacklist, path depth >= 10 drop, query > 1000B drop.
     Host blacklists join against a broadcast rule table instead (see
-    politeness.robots_gate)."""
-    path = url_path(url)
-    query = F.lower(url_query(url))
+    politeness.robots_gate). Pass precomputed ``path``/``query`` columns
+    when available so the regexp extraction isn't re-inlined per predicate.
+    """
+    if path is None:
+        path = url_path(url)
+    if query is None:
+        query = url_query(url)
+    query = F.lower(query)
     lpath = F.lower(path)
     bad_suffix = F.lit(False)
     for s in BAD_PATH_SUFFIXES:

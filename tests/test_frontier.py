@@ -1,0 +1,120 @@
+"""Frontier scoring / banding / budget / chunking (A1-A2, T2-T6)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from spider_spark import frontier as fr
+
+
+def test_uv_aggregate_per_user_cap(spark):
+    """A1 (uv_data.cc:293-433): one UV per (user,url) — max weight — then
+    sum per url."""
+    logs = spark.createDataFrame(
+        [
+            ("u1", "http://x.com/a", "search_click"),   # 10.0
+            ("u1", "http://x.com/a", "default"),        # capped with above
+            ("u2", "http://x.com/a", "wiki"),           # 5.0
+            ("u1", "http://x.com/b", "forum"),          # 0.4
+        ],
+        "user_id string, url string, source_kind string",
+    )
+    got = {r["url"]: r["uv"] for r in fr.uv_aggregate(logs).collect()}
+    assert got["http://x.com/a"] == 15.0
+    assert abs(got["http://x.com/b"] - 0.4) < 1e-9
+
+
+def test_fetched_status_barrier(spark):
+    """A2 (uv_data.cc:437-541): success cancels, failures retry to cap."""
+    frontier = spark.createDataFrame(
+        [("http://x.com/ok",), ("http://x.com/fail1",),
+         ("http://x.com/fail3",), ("http://x.com/new",)],
+        "url string",
+    )
+    status = spark.createDataFrame(
+        [
+            ("http://x.com/ok", True, 1),
+            ("http://x.com/fail1", False, 1),
+            ("http://x.com/fail3", False, 3),
+        ],
+        "url string, success boolean, try_times int",
+    )
+    out = {r["url"]: r["try_times"]
+           for r in fr.fetched_status_barrier(frontier, status).collect()}
+    assert "http://x.com/ok" not in out        # success → no recrawl
+    assert out["http://x.com/fail1"] == 2      # retry with try+1
+    assert "http://x.com/fail3" not in out     # at max_try → dropped
+    assert out["http://x.com/new"] == 1
+
+
+def test_batch_priority_band_ratios(spark):
+    df = spark.range(1000).select(
+        F.concat(F.lit("http://x.com/"), F.col("id")).alias("url"),
+        (1000 - F.col("id")).cast("double").alias("uv"),
+    )
+    out = fr.batch_priority_band(df, "uv")
+    counts = {r["priority"]: r["count"]
+              for r in out.groupBy("priority").count().collect()}
+    # ratios (0, .05, .8, .15, 0) → p4≈50, p3≈800, p2≈150 (split_by_pri.sh:41)
+    assert abs(counts.get(4, 0) - 50) <= 2
+    assert abs(counts.get(3, 0) - 800) <= 2
+    assert abs(counts.get(2, 0) - 150) <= 2
+    # band follows the sort: highest uv rows sit in the highest band present
+    top = out.orderBy(F.desc("uv")).first()
+    assert top["priority"] == 4
+
+
+def test_online_priority_bands(spark):
+    df = spark.createDataFrame(
+        [("http://x.com/a", 600.0), ("http://x.com/b", 200.0),
+         ("http://x.com/c", 50.0), ("http://x.com/d", 1.0)],
+        "url string, score double",
+    )
+    got = {r["url"]: r["p"] for r in df.select(
+        "url", fr.online_priority(F.col("score"), F.col("url")).alias("p")
+    ).collect()}
+    assert 0 <= got["http://x.com/a"] < 10     # scheduler.cc:192-205
+    assert 10 <= got["http://x.com/b"] < 30
+    assert 30 <= got["http://x.com/c"] < 50
+    assert 50 <= got["http://x.com/d"] < 100
+
+
+def test_per_host_topk(spark):
+    rows = [("h1", "http://h1/%02d" % i, 1, 1) for i in range(10)]
+    rows += [("h2", "http://h2/%02d" % i, 1, 1) for i in range(3)]
+    df = spark.createDataFrame(
+        rows, "host string, url string, type_rank int, from_rank int"
+    )
+    budget = spark.createDataFrame([("h1", 4)], "host string, budget int")
+    out = fr.per_host_topk(df, budget, default_budget=5)
+    counts = {r["host"]: r["count"]
+              for r in out.groupBy("host").count().collect()}
+    assert counts == {"h1": 4, "h2": 3}
+    # order: shorter/lexicographically-first urls kept
+    kept = sorted(r["url"] for r in out.filter(F.col("host") == "h1").collect())
+    assert kept == ["http://h1/%02d" % i for i in range(4)]
+
+
+def test_chunk_tasks(spark):
+    df = spark.createDataFrame(
+        [(0, "u%02d" % i) for i in range(10)], "fetcher_id int, url string"
+    )
+    out = fr.chunk_tasks(df, "fetcher_id", ["url"], chunk_size=4)
+    counts = {r["task_id"]: r["count"]
+              for r in out.groupBy("task_id").count().collect()}
+    assert counts == {0: 4, 1: 4, 2: 2}  # schedule_to_fetcher_id.cc:96-97
+
+
+def test_binpack_fetchers(spark):
+    df = spark.createDataFrame(
+        [("ip%d" % i, float(c)) for i, c in
+         enumerate([50, 30, 20, 10, 10, 10])],
+        "ip string, cost double",
+    )
+    out = fr.binpack_fetchers(df, n_fetchers=2)
+    load = {r["fetcher_id"]: r["s"] for r in out.groupBy("fetcher_id")
+            .agg(F.sum("cost").alias("s")).collect()}
+    assert set(load) == {0, 1}
+    total = sum(load.values())
+    # greedy fill: neither node exceeds ~70% of total
+    assert max(load.values()) <= 0.75 * total

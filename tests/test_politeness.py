@@ -1,0 +1,137 @@
+"""Robots gating + per-host admission + holdon state (L1/L6/J2 semantics,
+load_controller.cc:149-242 at batch granularity)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from spider_spark import politeness as pol
+
+
+@pytest.fixture(scope="module")
+def robots(spark):
+    r = pol.synthetic_robots(spark, 20).cache()
+    r.count()
+    return r
+
+
+def test_robots_levels(spark, robots):
+    urls = spark.createDataFrame(
+        [
+            ("http://host0.example.com/p/0", "host0.example.com", "/p/0"),
+            ("http://host0.example.com/p/1", "host0.example.com", "/p/1"),
+            ("http://host13.example.com/p/1", "host13.example.com", "/p/1"),
+            ("http://host1.example.com/p/5", "host1.example.com", "/p/5"),
+            ("http://nohost.example.com/p/0", "nohost.example.com", "/p/0"),
+        ],
+        "url string, host string, path string",
+    )
+    got = {
+        r["url"]: r["robots_level"]
+        for r in pol.robots_level(urls, robots).collect()
+    }
+    # host0: id%13==0 → no robots.txt → level 1 regardless of rules
+    assert got["http://host0.example.com/p/0"] == 1
+    assert got["http://host0.example.com/p/1"] == 1
+    # host13: 13%13==0 → no robots → level 1
+    assert got["http://host13.example.com/p/1"] == 1
+    # host1: robots present, allow_all → level 2
+    assert got["http://host1.example.com/p/5"] == 2
+    # unknown host → no robots → level 1
+    assert got["http://nohost.example.com/p/0"] == 1
+
+
+def test_robots_disallow_prefix(spark, robots):
+    urls = spark.createDataFrame(
+        [
+            ("http://host7.example.com/p/1", "host7.example.com", "/p/1"),
+            ("http://host7.example.com/p/10", "host7.example.com", "/p/10"),
+            ("http://host7.example.com/p/2", "host7.example.com", "/p/2"),
+        ],
+        "url string, host string, path string",
+    )
+    got = {
+        r["url"]: r["robots_level"]
+        for r in pol.robots_level(urls, robots).collect()
+    }
+    # host7: 7%7==0 → disallow prefix /p/1, allow_all False
+    assert got["http://host7.example.com/p/1"] == 0    # disallowed
+    assert got["http://host7.example.com/p/10"] == 0   # prefix match
+    assert got["http://host7.example.com/p/2"] == 3    # explicit allow
+
+
+def test_admit_round_budget_and_order(spark):
+    spec = pol.PolitenessSpec(qps=1.0, round_seconds=2.0)  # budget 2
+    rows = [
+        ("http://a.com/%d" % i, "a.com", 30, float(100 - i)) for i in range(5)
+    ] + [("http://b.com/0", "b.com", 30, 50.0)]
+    cand = spark.createDataFrame(
+        rows, "url string, host string, priority int, score double"
+    )
+    state = pol.init_host_state(spark)
+    out = pol.admit_round(cand, state, None, spec, round_no=0)
+    admitted = sorted(
+        r["url"] for r in out.filter(F.col("admitted")).collect()
+    )
+    # a.com: top-2 by (priority, score desc) = /0, /1; b.com under budget
+    assert admitted == ["http://a.com/0", "http://a.com/1", "http://b.com/0"]
+
+
+def test_admit_round_respects_holdon_and_drop(spark):
+    spec = pol.PolitenessSpec()
+    cand = spark.createDataFrame(
+        [
+            ("http://h.com/1", "h.com", 30, 1.0),
+            ("http://d.com/1", "d.com", 30, 1.0),
+            ("http://ok.com/1", "ok.com", 30, 1.0),
+        ],
+        "url string, host string, priority int, score double",
+    )
+    state = spark.createDataFrame(
+        [("h.com", 10, 5, False), ("d.com", 100, -1, True)],
+        pol.HOST_STATE_SCHEMA,
+    )
+    out = pol.admit_round(cand, state, None, spec, round_no=3)
+    admitted = {r["url"] for r in out.filter(F.col("admitted")).collect()}
+    assert admitted == {"http://ok.com/1"}  # h holding on till 5, d dropped
+    # after the holdon expires the host admits again
+    out2 = pol.admit_round(cand, state, None, spec, round_no=6)
+    admitted2 = {r["url"] for r in out2.filter(F.col("admitted")).collect()}
+    assert admitted2 == {"http://ok.com/1", "http://h.com/1"}
+
+
+def test_update_host_state(spark):
+    spec = pol.PolitenessSpec(holdon_failures=3, holdon_rounds=2,
+                              max_failed_times=6)
+    state = pol.init_host_state(spark)
+    results = spark.createDataFrame(
+        [("f.com", False)] * 3 + [("s.com", True), ("s.com", False)],
+        "host string, success boolean",
+    )
+    st1 = pol.update_host_state(state, results, spec, round_no=1)
+    d = {r["host"]: r.asDict() for r in st1.collect()}
+    assert d["f.com"]["consec_failures"] == 3
+    assert d["f.com"]["holdon_until_round"] == 3  # 1 + 2
+    assert not d["f.com"]["dropped"]
+    # any success resets the run
+    assert d["s.com"]["consec_failures"] == 0
+
+    # keep failing → dropped at max_failed_times
+    more = spark.createDataFrame([("f.com", False)] * 3,
+                                 "host string, success boolean")
+    st2 = pol.update_host_state(st1, more, spec, round_no=2)
+    d2 = {r["host"]: r.asDict() for r in st2.collect()}
+    assert d2["f.com"]["consec_failures"] == 6
+    assert d2["f.com"]["dropped"]
+
+
+def test_per_host_budget_dim(spark):
+    spec = pol.PolitenessSpec(qps=1.0, round_seconds=1.0)  # default 1
+    cand = spark.createDataFrame(
+        [("http://big.com/%d" % i, "big.com", 30, 1.0) for i in range(10)],
+        "url string, host string, priority int, score double",
+    )
+    budgets = spark.createDataFrame([("big.com", 5)], "host string, budget int")
+    out = pol.admit_round(cand, pol.init_host_state(spark), budgets, spec, 0)
+    assert out.filter(F.col("admitted")).count() == 5

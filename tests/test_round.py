@@ -1,0 +1,112 @@
+"""E2E crawl rounds vs the pure-Python reference simulator — the north-rule
+contract: equality of (round → admitted-url batch) sequences and of the
+final URL-seen set under the same seed list + politeness budget."""
+
+from __future__ import annotations
+
+import collections
+
+import pytest
+from pyspark.sql import functions as F
+
+from spider_spark import simulator as sim
+from spider_spark.politeness import PolitenessSpec, synthetic_robots
+from spider_spark.round import CrawlRun, RoundSpec
+from spider_spark.spans import WebSpec, extract_outlinks, generate_documents
+
+SPEC = WebSpec(n_hosts=10, pages_per_host=4, skew_hosts=2, skew_pages=16,
+               links_per_page=3)
+PSPEC = PolitenessSpec(qps=1.0, round_seconds=3.0)  # budget 3/host/round
+RSPEC = RoundSpec(n_buckets=8, max_depth=3, max_rounds=10, politeness=PSPEC)
+SEEDS = [SPEC.url_of(1), SPEC.url_of(2), SPEC.url_of(7)]
+
+
+@pytest.fixture(scope="module")
+def world(spark):
+    docs = generate_documents(spark, SPEC).cache()
+    robots = synthetic_robots(spark, SPEC.n_hosts).cache()
+    adj = collections.defaultdict(list)
+    for r in extract_outlinks(docs).collect():
+        adj[r["doc_id"]].append(r["outlink"])
+    rob = sim.SimRobots({
+        r["host"]: (r["has_robots"], r["allow_all"],
+                    list(r["disallow_prefixes"] or []))
+        for r in robots.collect()
+    })
+    return docs, robots, dict(adj), rob
+
+
+@pytest.fixture(scope="module")
+def spark_result(spark, world, tmp_path_factory):
+    docs, robots, _, _ = world
+    ck = str(tmp_path_factory.mktemp("ck"))
+    run = CrawlRun(spark, docs, robots, ck, RSPEC)
+    seeds_df = spark.createDataFrame([(u,) for u in SEEDS], "url string")
+    res = run.run(seeds_df)
+    rounds = [r["admitted_urls"] for r in res]
+    while rounds and not rounds[-1]:
+        rounds.pop()
+    return run, rounds
+
+
+@pytest.fixture(scope="module")
+def sim_result(world):
+    _, _, adj, rob = world
+    return sim.simulate(
+        SEEDS, adj, rob,
+        sim.SimSpec(default_budget=PSPEC.default_budget,
+                    max_depth=RSPEC.max_depth, max_rounds=RSPEC.max_rounds),
+    )
+
+
+def test_crawl_ordering_matches_simulator(spark_result, sim_result):
+    _, rounds = spark_result
+    assert rounds == sim_result["rounds"]
+
+
+def test_seen_set_matches_simulator(spark_result, sim_result):
+    run, _ = spark_result
+    assert run.seen_urls() == sim_result["seen"]
+
+
+def test_resume_from_checkpoint(spark, world, tmp_path_factory):
+    """Donelist-protocol resume (link_merge.sh:30-57 role): a fresh driver
+    resuming mid-crawl must end at the same seen set as an uninterrupted
+    run."""
+    docs, robots, adj, rob = world
+    ck = str(tmp_path_factory.mktemp("ck_resume"))
+    short = RoundSpec(n_buckets=8, max_depth=2, max_rounds=2,
+                      politeness=PSPEC)
+    run1 = CrawlRun(spark, docs, robots, ck, short)
+    seeds_df = spark.createDataFrame([(u,) for u in SEEDS], "url string")
+    run1.run(seeds_df)
+    assert run1.last_committed_round() == 2
+
+    # resume with a new driver object and a longer horizon
+    full = RoundSpec(n_buckets=8, max_depth=2, max_rounds=10,
+                     politeness=PSPEC)
+    run2 = CrawlRun(spark, docs, robots, ck, full)
+    run2.run(seeds_df, resume=True)
+
+    ref = sim.simulate(
+        SEEDS, adj, rob,
+        sim.SimSpec(default_budget=PSPEC.default_budget, max_depth=2,
+                    max_rounds=10),
+    )
+    assert run2.seen_urls() == ref["seen"]
+
+
+def test_span_invariant_through_pipeline(spark, world):
+    """Docs fetched by the engine keep span sequences byte-identical to the
+    source table (the per-row invariant)."""
+    from spider_spark.spans import span_signature
+
+    docs, _, _, _ = world
+    before = span_signature(docs)
+    # round-trip through parquet (what the round's linkbase join does)
+    import tempfile
+    d = tempfile.mkdtemp()
+    docs.write.mode("overwrite").parquet(d + "/docs")
+    after = span_signature(spark.read.parquet(d + "/docs"))
+    assert before.exceptAll(after).count() == 0
+    assert after.exceptAll(before).count() == 0
