@@ -1,0 +1,228 @@
+"""Deduplication family for training-data pipelines over a documents table.
+
+Beyond the reference's simhash dedup (D1/D2 → :mod:`spider_spark.simhash`),
+the operators a 100-TB corpus pipeline needs:
+
+- exact dedup           hash-groupBy on a content digest (built-in md5)
+- minhash + LSH         shingle → k minhashes → b bands → bucket join
+- n-gram Jaccard        exact verify of LSH candidates (the oracle pair)
+- simhash near-dup      hamming ≤ k via the Manku index
+- embedding near-dup    cosine ≥ τ via the similarity module
+
+All pair-generating ops emit (a, b, ...) with a < b, distinct. Scale
+notes: LSH banding keys are uniform hashes, so the bucket join shuffles
+evenly; exact Jaccard runs only on bucket collisions; the canonical-keep
+choice (min id per group) is deterministic — no rand() (§4 rule).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, LongType
+
+# -- exact ------------------------------------------------------------------
+
+
+def exact_duplicates(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Groups of byte-identical docs: (content_md5, n_docs, keep_id,
+    dup_ids). ``keep_id`` = min id (deterministic canonical survivor)."""
+    return (
+        docs.select(F.col(id_col).alias("id"),
+                    F.md5(F.col(text_col)).alias("content_md5"))
+        .groupBy("content_md5")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("id").alias("keep_id"),
+            F.sort_array(F.collect_list("id")).alias("all_ids"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def dedup_exact(docs: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Keep one row per distinct content (min id wins)."""
+    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(F.asc(id_col))
+    return (
+        docs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+# -- minhash / LSH ----------------------------------------------------------
+
+MINHASH_PRIME = (1 << 61) - 1
+
+
+def _hash_params(k: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.RandomState(seed)  # deterministic by seed
+    a = rng.randint(1, MINHASH_PRIME, size=k, dtype=np.int64)
+    b = rng.randint(0, MINHASH_PRIME, size=k, dtype=np.int64)
+    return a, b
+
+
+def _shingle_hashes(text: str, n: int) -> np.ndarray:
+    toks = text.split()
+    if len(toks) < n:
+        grams = [" ".join(toks)] if toks else []
+    else:
+        grams = [" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)]
+    if not grams:
+        return np.zeros(0, dtype=np.uint64)
+    return np.fromiter(
+        (
+            int.from_bytes(
+                hashlib.blake2b(g.encode("utf-8", "ignore"),
+                                digest_size=8).digest(), "big")
+            for g in set(grams)
+        ),
+        dtype=np.uint64,
+        count=len(set(grams)),
+    )
+
+
+def make_minhash_udf(k: int = 128, shingle: int = 3, seed: int = 42):
+    """Returns a pandas UDF text → array<long> of k minhashes.
+    h_i(x) = (a_i * x + b_i) mod p over the doc's shingle hash set —
+    vectorized numpy (k × n_shingles) per doc."""
+    a, b = _hash_params(k, seed)
+    a_u = a.astype(np.uint64)
+    b_u = b.astype(np.uint64)
+    p = np.uint64(MINHASH_PRIME)
+
+    @pandas_udf(ArrayType(LongType()))
+    def minhash(text: pd.Series) -> pd.Series:
+        out = []
+        for t in text.fillna(""):
+            sh = _shingle_hashes(t, shingle)
+            if not len(sh):
+                out.append([0] * k)
+                continue
+            # (k, n) = (a[:,None] * sh[None,:] + b[:,None]) mod p
+            vals = (a_u[:, None] * sh[None, :] + b_u[:, None]) % p
+            out.append(vals.min(axis=1).astype(np.int64).tolist())
+        return pd.Series(out)
+
+    return minhash
+
+
+def lsh_candidates(docs: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text", k: int = 128, bands: int = 32,
+                   shingle: int = 3, seed: int = 42) -> DataFrame:
+    """MinHash-LSH candidate pairs: k minhashes banded into ``bands`` rows
+    of k/bands; docs sharing any band bucket become candidates.
+    Returns distinct (a, b)."""
+    rows = k // bands
+    mh = make_minhash_udf(k, shingle, seed)
+    sig = docs.select(F.col(id_col).alias("id"),
+                      mh(F.col(text_col)).alias("sig"))
+    banded = sig.select(
+        "id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(bi).alias("band"),
+                    F.hash(
+                        *[F.element_at("sig", bi * rows + ri + 1)
+                          for ri in range(rows)]
+                    ).alias("bucket"),
+                )
+                for bi in range(bands)
+            ])
+        ).alias("bk"),
+    ).select("id", "bk.band", "bk.bucket")
+    other = banded.withColumnRenamed("id", "id_b")
+    return (
+        banded.join(other, ["band", "bucket"])
+        .filter(F.col("id") < F.col("id_b"))
+        .select(F.col("id").alias("a"), F.col("id_b").alias("b"))
+        .distinct()
+    )
+
+
+# -- exact n-gram Jaccard (the verify / oracle side) ------------------------
+
+
+def ngram_jaccard_pairs(docs: DataFrame, candidates: DataFrame,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        shingle: int = 3,
+                        threshold: float = 0.8) -> DataFrame:
+    """Exact Jaccard over token n-gram sets for candidate pairs — the
+    verification stage after LSH (and its differential oracle in tests).
+    JVM-side: shingles via sequence/transform, intersection/union via
+    array functions."""
+    toks = F.split(F.col(text_col), r"\s+")
+    n_sh = F.greatest(F.size(toks) - (shingle - 1), F.lit(1))
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), n_sh - 1),
+            lambda i: F.concat_ws(
+                " ", F.slice(toks, i + 1, shingle)
+            ),
+        )
+    )
+    sh = docs.select(F.col(id_col).alias("id"), grams.alias("grams"))
+    a = sh.withColumnRenamed("id", "a").withColumnRenamed("grams", "ga")
+    b = sh.withColumnRenamed("id", "b").withColumnRenamed("grams", "gb")
+    inter = F.size(F.array_intersect("ga", "gb"))
+    union = F.size(F.array_union("ga", "gb"))
+    return (
+        candidates.join(a, "a").join(b, "b")
+        .select(
+            "a", "b",
+            (inter / union).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_near_duplicates(docs: DataFrame, id_col: str = "doc_id",
+                            text_col: str = "text", k: int = 128,
+                            bands: int = 32, shingle: int = 3,
+                            threshold: float = 0.8,
+                            seed: int = 42) -> DataFrame:
+    """Full pipeline: LSH candidates → exact Jaccard verify ≥ threshold."""
+    cand = lsh_candidates(docs, id_col, text_col, k, bands, shingle, seed)
+    return ngram_jaccard_pairs(docs, cand, id_col, text_col, shingle,
+                               threshold)
+
+
+# -- embedding cosine near-dup ---------------------------------------------
+
+
+def embedding_near_duplicates(emb: DataFrame, id_col: str = "vec_id",
+                              vec_col: str = "embedding",
+                              threshold: float = 0.95,
+                              n_planes: int = 16,
+                              seed: int = 42) -> DataFrame:
+    """Near-dup pairs by cosine ≥ threshold, bucketed by random-hyperplane
+    LSH signs so the pair join is band-local, then exact cosine verify.
+    See :mod:`spider_spark.similarity` for the kernels."""
+    from .similarity import cosine_expr, hyperplane_bucket
+
+    keyed = emb.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        hyperplane_bucket(F.col(vec_col), emb, n_planes, seed).alias("bucket"),
+    )
+    other = (keyed.withColumnRenamed("id", "id_b")
+             .withColumnRenamed("v", "v_b"))
+    return (
+        keyed.join(other, "bucket")
+        .filter(F.col("id") < F.col("id_b"))
+        .select(
+            F.col("id").alias("a"),
+            F.col("id_b").alias("b"),
+            cosine_expr(F.col("v"), F.col("v_b")).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .distinct()
+    )

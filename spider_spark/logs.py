@@ -1,0 +1,111 @@
+"""pv/search/click log analytics feeding the frontier scorer.
+
+Re-expresses the reference's log_analysis MR fleet (cites into
+/root/reference) as single-DAG DataFrame pipelines:
+
+- J5  md5→url literal resolution (3-round MR join, pv_r1.cc:42-337) →
+  two plain joins + latest-timestamp-wins window
+- J6  search↔pv click join (search_pv_clk.cc:20-56) → composite-key
+  equi-join + rank filter
+- A5  url→ref distinct pairs (url_ref_count.cc:17-56)
+- A6  per-query distinct-user count (query_count.cc:14-61)
+- A7  site pv stat (mr_stat_site_pv_mapper.cc:19-60)
+- 2.10 session segmentation (pvlog_segmenter.h:80-94): split at gap
+  >5 min without referer / >30 min with, per agent, logs sorted by ts
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+SESSION_GAP_NO_REF_S = 5 * 60     # pvlog_segmenter.h:80-94
+SESSION_GAP_REF_S = 30 * 60
+MAX_CLICK_RANK = 10               # ads dropped, search_pv_clk.cc
+
+
+def resolve_md5_urls(pv: DataFrame, md5_map: DataFrame,
+                     url_md5: str = "url_md5", ref_md5: str = "ref_md5",
+                     hot_slice: DataFrame | None = None) -> DataFrame:
+    """J5: attach literal urls for url_md5/ref_md5. The reference's 3-round
+    MR join with a shipped hot-key cache (pv_r1.cc:26-49) becomes two joins;
+    the hot cache ≙ letting AQE broadcast the (small) hot slice — callers
+    may pass ``hot_slice`` to union-broadcast explicitly. Conflicting map
+    rows resolve latest-timestamp-wins (pv_r1.cc:244-261)."""
+    w = Window.partitionBy("md5").orderBy(F.desc("ts"), F.desc("url"))
+    m = (
+        md5_map.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("md5", "url")
+    )
+    out = (
+        pv.join(m.withColumnRenamed("url", "url_literal"),
+                pv[url_md5] == m["md5"], "left")
+        .drop("md5")
+        .join(
+            m.withColumnRenamed("url", "ref_literal"),
+            F.col(ref_md5) == m["md5"],
+            "left",
+        )
+        .drop("md5")
+    )
+    return out
+
+
+def search_click_join(search: DataFrame, pv: DataFrame) -> DataFrame:
+    """J6: key (uid, url, query, se); pv rows are clicks of search results;
+    ads (rank > 10) dropped before the join."""
+    s = search.filter(F.col("rank") <= MAX_CLICK_RANK)
+    return s.join(pv, ["uid", "url"], "inner")
+
+
+def url_ref_pairs(pv: DataFrame, url_col: str = "url",
+                  ref_col: str = "ref") -> DataFrame:
+    """A5: distinct (url, ref) pairs."""
+    return pv.select(url_col, ref_col).distinct()
+
+
+def query_user_counts(search: DataFrame, query_col: str = "query",
+                      uid_col: str = "uid",
+                      approximate: bool = False) -> DataFrame:
+    """A6: per query, distinct users. ``approximate`` switches to HLL
+    (approx_count_distinct) — the 100-TB path where exact distinct would
+    shuffle every (query, uid) pair."""
+    agg = (
+        F.approx_count_distinct(uid_col)
+        if approximate
+        else F.countDistinct(uid_col)
+    )
+    return search.groupBy(query_col).agg(agg.alias("n_users"))
+
+
+def site_pv(pv: DataFrame, site_col: str = "site") -> DataFrame:
+    """A7: pv count per site (partial agg is automatic)."""
+    return pv.groupBy(site_col).agg(F.count("*").alias("pv"))
+
+
+def sessionize(pv: DataFrame, uid_col: str = "uid", ts_col: str = "ts",
+               ref_col: str | None = "ref",
+               no_ref_gap: float = SESSION_GAP_NO_REF_S,
+               ref_gap: float = SESSION_GAP_REF_S) -> DataFrame:
+    """Session segmentation (pvlog_segmenter.h:80-94): per uid in ts order,
+    start a new session when the gap from the previous hit exceeds
+    ``no_ref_gap`` (default 5 min, no referer) / ``ref_gap`` (30 min, with
+    referer) — gap units are whatever ``ts_col`` is in. Adds ``session_id``
+    (0-based per uid) via the lag → flag → running-sum pattern."""
+    w = Window.partitionBy(uid_col).orderBy(F.asc(ts_col))
+    gap = F.col(ts_col).cast("double") - F.lag(
+        F.col(ts_col).cast("double")
+    ).over(w)
+    if ref_col is not None:
+        threshold = F.when(
+            F.col(ref_col).isNotNull() & (F.col(ref_col) != ""),
+            F.lit(ref_gap),
+        ).otherwise(F.lit(no_ref_gap))
+    else:
+        threshold = F.lit(no_ref_gap)
+    new_sess = F.when(gap.isNull() | (gap > threshold), 1).otherwise(0)
+    running = F.sum(new_sess).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return pv.withColumn("session_id", (running - 1).cast("int"))

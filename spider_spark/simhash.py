@@ -1,0 +1,148 @@
+"""64-bit simhash + Manku block-permutation near-duplicate candidate index.
+
+Reference semantics (cites into /root/reference):
+
+- D1 simhash algorithm: per-term 64-bit hashes weighted, bit-vote sign →
+  64-bit signature (crawler/crawler/dedup/html_simhash/html_simhash.h:2-8,
+  51-139).
+- D2 Manku tables: f=64 split into 5 blocks (13,13,13,13,12 bits);
+  C(5,2)=10 permuted tables keyed by two blocks → candidates within
+  hamming distance ≤ 3 (crawler/crawler/dedup/html_simhash/
+  dedup_util.cc:12-55).
+
+Spark-first: the signature is a pandas UDF whose inner loop is numpy over
+the batch's unique tokens (token-hash cache per batch); candidate lookup
+is a JVM-side explode → self-join on block keys → ``bit_count(a^b) <= k``
+exact filter — no Python in the join path.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import LongType
+
+# 5 blocks: bit spans over the 64-bit signature (dedup_util.cc:12-55 layout)
+BLOCK_BOUNDS = [(0, 13), (13, 26), (26, 39), (39, 52), (52, 64)]
+BLOCK_PAIRS = [
+    (i, j) for i in range(5) for j in range(i + 1, 5)
+]  # C(5,2) = 10 tables
+DEFAULT_MAX_HAMMING = 3
+
+
+def _token_hash64(token: str) -> int:
+    return int.from_bytes(
+        hashlib.blake2b(token.encode("utf-8", "ignore"),
+                        digest_size=8).digest(),
+        "big",
+    )
+
+
+@pandas_udf(LongType())
+def simhash64(text: pd.Series) -> pd.Series:
+    """Batch simhash: hash each *unique* token once per Arrow batch, then
+    per doc accumulate bit votes with numpy unpacked bits."""
+    # batch-level token hash cache
+    token_lists = text.fillna("").str.split()
+    vocab: dict[str, int] = {}
+    for toks in token_lists:
+        for t in toks:
+            if t not in vocab:
+                vocab[t] = _token_hash64(t)
+    # precompute bit matrix for vocab: (n_vocab, 64) of ±1
+    if vocab:
+        hashes = np.fromiter(vocab.values(), dtype=np.uint64, count=len(vocab))
+        bits = (
+            np.unpackbits(hashes.view(np.uint8).reshape(-1, 8)[:, ::-1],
+                          axis=1)
+            .astype(np.int32)
+        )
+        votes_lut = bits * 2 - 1  # 0/1 → -1/+1
+        index = {t: i for i, t in enumerate(vocab)}
+    out = np.zeros(len(text), dtype=np.int64)
+    for row, toks in enumerate(token_lists):
+        if not toks:
+            continue
+        idx = np.fromiter((index[t] for t in toks), dtype=np.int64,
+                          count=len(toks))
+        votes = votes_lut[idx].sum(axis=0)
+        sig = np.uint64(0)
+        for b in range(64):
+            if votes[b] > 0:
+                sig |= np.uint64(1) << np.uint64(63 - b)
+        out[row] = np.int64(sig)
+    return pd.Series(out)
+
+
+def block_keys(sign_col) -> list:
+    """The 10 Manku table keys for one signature: for table t = (i, j),
+    key = (bits of block i) * 2^|j| + (bits of block j). Pure column
+    bit-math (shiftright/mask), JVM-side."""
+    sign = F.col(sign_col) if isinstance(sign_col, str) else sign_col
+    keys = []
+    for t, (i, j) in enumerate(BLOCK_PAIRS):
+        lo_i, hi_i = BLOCK_BOUNDS[i]
+        lo_j, hi_j = BLOCK_BOUNDS[j]
+        wi, wj = hi_i - lo_i, hi_j - lo_j
+        blk_i = F.shiftright(sign, 64 - hi_i).bitwiseAND(F.lit((1 << wi) - 1))
+        blk_j = F.shiftright(sign, 64 - hi_j).bitwiseAND(F.lit((1 << wj) - 1))
+        keys.append(
+            F.struct(
+                F.lit(t).alias("table_id"),
+                (blk_i * F.lit(1 << wj) + blk_j).alias("block_key"),
+            )
+        )
+    return keys
+
+
+def simhash_candidates(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    sign_col: str = "simhash",
+    max_hamming: int = DEFAULT_MAX_HAMMING,
+) -> DataFrame:
+    """Near-duplicate pairs within ``max_hamming`` bits (≤3 ⇒ the two-block
+    key guarantees recall: 3 flipped bits leave ≥2 of 5 blocks intact, so
+    some table pairs them). Returns (a, b, hamming) with a < b, distinct.
+
+    Scale: the explode is ×10; the self-join shuffles on (table_id,
+    block_key) — ~26-bit keys spread uniformly, so no skew; the exact
+    hamming filter (bit_count, JVM intrinsic) runs only on bucket
+    collisions.
+    """
+    keyed = docs.select(
+        F.col(id_col).alias("id"),
+        F.col(sign_col).alias("sign"),
+        F.explode(F.array(*block_keys(sign_col))).alias("k"),
+    ).select("id", "sign", "k.table_id", "k.block_key")
+    left = keyed
+    right = (
+        keyed.withColumnRenamed("id", "id_b")
+        .withColumnRenamed("sign", "sign_b")
+    )
+    pairs = (
+        left.join(right, ["table_id", "block_key"])
+        .filter(F.col("id") < F.col("id_b"))
+        .select(
+            F.col("id").alias("a"),
+            F.col("id_b").alias("b"),
+            F.bit_count(
+                F.col("sign").bitwiseXOR(F.col("sign_b"))
+            ).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+    return pairs
+
+
+def hamming64(a, b):
+    """Exact hamming distance between two 64-bit sign columns."""
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    return F.bit_count(a.bitwiseXOR(b))

@@ -1,0 +1,139 @@
+"""Similarity search over embedding columns (array<float>).
+
+- :func:`cosine_expr` / :func:`dot_expr` — JVM-side higher-order-function
+  kernels (zip_with → aggregate), whole-stage-codegen'd, no Python.
+- :func:`knn_brute` — exact top-k cosine against a query vector: broadcast
+  the query, score every row, range-partitioned top-k. The correctness
+  baseline.
+- :func:`knn_ivf` — IVF-style scale path: k-means-lite centroids
+  (deterministic seeded sample), assign rows to nearest centroid once
+  (write-time partition at scale), probe only the closest ``n_probe``
+  partitions at query time.
+- :func:`hyperplane_bucket` — random-hyperplane LSH bucket key for
+  pair-style joins (used by dedup.embedding_near_duplicates).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot_expr(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm_expr(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x * x), F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
+
+
+def knn_brute(emb: DataFrame, query_vec: list[float], k: int = 10,
+              id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Exact top-k by cosine. The query vector is a literal array (no join
+    needed — it ships inside the plan); ordering ties break on id.
+
+    Scale: one scan + a k-row total-order head (Spark's takeOrdered-style
+    sort on k rows per partition then merge) — no full sort materialized."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = emb.select(
+        F.col(id_col),
+        cosine_expr(F.col(vec_col), q).alias("cosine"),
+    )
+    return scored.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)
+
+
+def _deterministic_planes(dim: int, n_planes: int, seed: int) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    return rng.normal(size=(n_planes, dim))
+
+
+def hyperplane_bucket(vec: Column, emb: DataFrame, n_planes: int = 16,
+                      seed: int = 42, dim: int | None = None) -> Column:
+    """SimHash-for-vectors bucket id: sign bits of ``n_planes`` seeded
+    random hyperplane dot products, packed into a long. Column-only math —
+    the planes are literal arrays folded into the plan."""
+    if dim is None:
+        first = emb.select(F.size(vec).alias("d")).first()
+        dim = int(first["d"])
+    planes = _deterministic_planes(dim, n_planes, seed)
+    bucket = F.lit(0).cast("long")
+    for i in range(n_planes):
+        p = F.array(*[F.lit(float(x)) for x in planes[i]])
+        bit = F.when(dot_expr(vec, p) >= 0, F.lit(1)).otherwise(F.lit(0))
+        bucket = bucket * 2 + bit
+    return bucket
+
+
+def knn_ivf(emb: DataFrame, query_vec: list[float], k: int = 10,
+            n_centroids: int = 16, n_probe: int = 4,
+            id_col: str = "vec_id", vec_col: str = "embedding",
+            seed: int = 42) -> DataFrame:
+    """IVF-lite approximate top-k: centroids = deterministic seeded sample
+    of rows (one tiny collect); every row assigned to its nearest centroid;
+    the query probes the ``n_probe`` nearest centroid partitions only.
+
+    At 100 TB the assignment is computed once at write time and used as the
+    table's partition key — a query then scans n_probe/n_centroids of the
+    data (partition pruning), which is the whole point of IVF."""
+    # deterministic "k-means--": sample rows by hash order as centroids
+    sample = (
+        emb.select(id_col, vec_col)
+        .orderBy(F.pmod(F.xxhash64(F.col(id_col) + seed), F.lit(997)),
+                 F.col(id_col))
+        .limit(n_centroids)
+        .collect()
+    )
+    centroids = [list(map(float, r[vec_col])) for r in sample]
+
+    # centroid assignment = broadcast crossJoin + per-row argmax window —
+    # the write-time partitioning join at scale (a CASE-chain over literal
+    # centroid arrays would rebuild an exponential expression tree)
+    spark = emb.sparkSession
+    cent_df = spark.createDataFrame(
+        [(ci, c) for ci, c in enumerate(centroids)],
+        "centroid int, cvec array<double>",
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy(F.desc("c_cos"), F.asc("centroid"))
+    )
+    assigned = (
+        emb.crossJoin(F.broadcast(cent_df))
+        .withColumn("c_cos", cosine_expr(F.col(vec_col), F.col("cvec")))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("c_cos", "cvec", "_rn")
+    )
+    qv = np.array(query_vec, dtype=float)
+
+    def cos(a, b):
+        na, nb = np.linalg.norm(a), np.linalg.norm(b)
+        return float(a @ b / (na * nb)) if na and nb else 0.0
+
+    probe = sorted(
+        range(len(centroids)),
+        key=lambda ci: (-cos(np.array(centroids[ci]), qv), ci),
+    )[:n_probe]
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        assigned.filter(F.col("centroid").isin(probe))
+        .select(F.col(id_col), cosine_expr(F.col(vec_col), q).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
