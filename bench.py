@@ -64,21 +64,35 @@ def crawl_round_bench(spark) -> tuple[float, int]:
 
     spec = WebSpec(n_hosts=2000, pages_per_host=30, skew_hosts=5,
                    skew_pages=10_000, links_per_page=10)
-    docs = generate_documents(spark, spec)
-    robots = synthetic_robots(spark, spec.n_hosts)
-    ck = tempfile.mkdtemp(prefix="bench_ck_")
-    run = CrawlRun(
-        spark, docs, robots, ck,
-        RoundSpec(n_buckets=64, max_depth=3, max_rounds=2,
-                  politeness=PolitenessSpec(qps=10.0, round_seconds=5.0)),
+    work = tempfile.mkdtemp(prefix="bench_crawl_")
+    # materialize the synthetic web once — the engine's real input is a
+    # stored Iceberg table, so table generation is not part of the round
+    generate_documents(spark, spec).write.mode("overwrite").parquet(
+        work + "/docs"
     )
-    seeds = docs.select(docs.doc_id.alias("url")).limit(2000)
+    docs = spark.read.parquet(work + "/docs")
+    robots = synthetic_robots(spark, spec.n_hosts)
+    run = CrawlRun(
+        spark, docs, robots, work + "/ck",
+        RoundSpec(n_buckets=64, max_depth=3, max_rounds=3,
+                  politeness=PolitenessSpec(qps=10.0, round_seconds=5.0),
+                  collect_ordering=False),
+    )
+    # deterministic host-spread seed sample (limit() on a parquet read can
+    # land entirely on the skew hosts' files and politeness-starve round 0)
+    from pyspark.sql import functions as F
+
+    seeds = docs.select(docs.doc_id.alias("url")).filter(
+        F.pmod(F.xxhash64("url"), F.lit(12)) == 0
+    )
     t0 = time.time()
     run.bootstrap(seeds)
-    r0 = run.run_round(0)
+    scheduled = 0
+    for r in range(2):
+        scheduled += run.run_round(r)["admitted"]
     dt = time.time() - t0
-    shutil.rmtree(ck, ignore_errors=True)
-    return dt, r0["admitted"]
+    shutil.rmtree(work, ignore_errors=True)
+    return dt, scheduled
 
 
 def bench_at(cpus: int, sf_dir: str, with_crawl: bool = True) -> dict:

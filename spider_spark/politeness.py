@@ -120,7 +120,10 @@ def admit_round(candidates: DataFrame, host_state: DataFrame,
     (mega-hosts) is bounded because the admitted set per host ≤ budget and
     the carryover tail is cut by per_host_topk upstream.
     """
-    c = candidates.join(F.broadcast(host_state), "host", "left")
+    # host_state grows with the host universe (~10^7 rows at full scale):
+    # no broadcast hint — AQE broadcasts while it is small and falls back
+    # to a shuffle join aligned with the window's host partitioning after
+    c = candidates.join(host_state, "host", "left")
     if budgets is not None:
         c = c.join(F.broadcast(budgets), "host", "left")
         budget_col = F.coalesce(F.col("budget"), F.lit(spec.default_budget))

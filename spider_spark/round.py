@@ -64,6 +64,9 @@ class RoundSpec:
     politeness: pol.PolitenessSpec = field(default_factory=pol.PolitenessSpec)
     bloom: BloomSpec = field(default_factory=BloomSpec)
     confirm_hits: bool = True    # verify Bloom hits with an exact join
+    collect_ordering: bool = True  # driver-side ordering witness (tests);
+    # bench runs disable it — the witness collect is test instrumentation,
+    # not part of the round
     seed: int = 42
 
 
@@ -98,10 +101,15 @@ class CrawlRun:
         self.bloom = BloomShards(spec.bloom)
         # Pre-extract the adjacency once: (doc_id, outlink). At scale this
         # is the Iceberg documents table scanned with column pruning (spans
-        # only); the extraction is JVM-side higher-order functions.
+        # only); the extraction is JVM-side higher-order functions. Persist
+        # both — every round's actions re-derive from them, and without the
+        # persist a generator-backed docs DataFrame re-runs generation +
+        # extraction per action (the dominant cost in profiling).
         self.docs = docs
-        self.adjacency = extract_outlinks(docs)
-        self.doc_urls = docs.select(F.col("doc_id").alias("url")).distinct()
+        self.adjacency = extract_outlinks(docs).persist()
+        self.doc_urls = (
+            docs.select(F.col("doc_id").alias("url")).distinct().persist()
+        )
 
     # -- candidate hygiene: one place that turns raw urls into frontier rows
     def _prepare_candidates(self, urls: DataFrame) -> DataFrame:
@@ -149,6 +157,22 @@ class CrawlRun:
     def _read(self, r: int, name: str) -> DataFrame:
         return self.spark.read.parquet(os.path.join(self._round_dir(r), name))
 
+    # -- linkbase: append-only per-round delta partitions (Iceberg-append
+    #    role; a full rewrite per round would be O(rounds²) at scale).
+    #    Writing round r's delta dir with overwrite keeps re-runs idempotent;
+    #    reads prune to committed rounds via the partition column.
+
+    def _lb_delta_dir(self, r: int) -> str:
+        return os.path.join(self.ckpt, "linkbase", f"round={r}")
+
+    def _write_linkbase_delta(self, df: DataFrame, r: int) -> None:
+        df.write.mode("overwrite").parquet(self._lb_delta_dir(r))
+
+    def _linkbase(self, upto_round: int) -> DataFrame:
+        return self.spark.read.parquet(
+            os.path.join(self.ckpt, "linkbase")
+        ).filter(F.col("round") <= upto_round)
+
     def last_committed_round(self) -> int | None:
         if not os.path.isdir(self.ckpt):
             return None
@@ -179,11 +203,11 @@ class CrawlRun:
             "seen_state",
         )
         self._write(pol.init_host_state(self.spark), 0, "host_state")
-        # empty linkbase
+        # empty linkbase delta seeds the partitioned layout
         empty_lb = self.spark.createDataFrame(
-            [], "url string, host string, depth int, round int, success boolean"
+            [], "url string, host string, depth int, success boolean"
         )
-        self._write(empty_lb, 0, "linkbase")
+        self._write_linkbase_delta(empty_lb, 0)
         self._manifest(0, {"seeded": True, "frontier": cand.count()})
 
     def _manifest(self, r: int, extra: dict) -> None:
@@ -196,12 +220,12 @@ class CrawlRun:
         frontier = self._with_keys(self._read(r, "frontier"))
         seen_state = self._read(r, "seen_state")
         host_state = self._read(r, "host_state")
-        linkbase = self._read(r, "linkbase")
+        linkbase = self._linkbase(r - 1) if r > 0 else None
 
         # 1. seen-probe: Bloom shards; hits confirmed exactly against the
         #    linkbase (so FPs cost one small join, never correctness).
         probed = self.bloom.probe(frontier, seen_state)
-        if self.spec.confirm_hits:
+        if self.spec.confirm_hits and linkbase is not None:
             hits = probed.filter(F.col("maybe_seen"))
             fps = hits.join(linkbase.select("url"), "url", "left_anti")
             unseen = probed.filter(~F.col("maybe_seen")).unionByName(fps)
@@ -269,24 +293,34 @@ class CrawlRun:
             host_state, fetched.select("host", "success"),
             self.spec.politeness, r,
         )
-        lb_add = fetched.select(
-            "url", "host", "depth", F.lit(r).alias("round"), "success"
-        )
-        new_lb = linkbase.unionByName(lb_add)
+        lb_add = fetched.select("url", "host", "depth", "success")
 
-        # 7. commit round r+1 (write, then manifest = commit marker)
-        self._write(nxt, r + 1, "frontier")
+        # 7. commit round r+1 (write, then manifest = commit marker).
+        #    Row counts ride the write jobs via Observation — no extra
+        #    count() jobs per round.
+        from pyspark.sql import Observation
+
+        obs_next = Observation(f"frontier_next_r{r}")
+        obs_lb = Observation(f"lb_add_r{r}")
+        self._write(nxt.observe(obs_next, F.count(F.lit(1)).alias("n")),
+                    r + 1, "frontier")
         self._write(new_seen, r + 1, "seen_state")
         self._write(new_host_state, r + 1, "host_state")
-        self._write(new_lb, r + 1, "linkbase")
-
-        admitted_urls = sorted(
-            row["url"] for row in fetched.select("url").collect()
+        self._write_linkbase_delta(
+            lb_add.observe(obs_lb, F.count(F.lit(1)).alias("n")), r
         )
+
+        if self.spec.collect_ordering:
+            admitted_urls = sorted(
+                row["url"] for row in fetched.select("url").collect()
+            )
+            admitted_n = len(admitted_urls)
+        else:
+            admitted_urls = []
+            admitted_n = obs_lb.get["n"]
         metrics = {
-            "admitted": len(admitted_urls),
-            "frontier_next": self._read(r + 1, "frontier").count(),
-            "linkbase": self._read(r + 1, "linkbase").count(),
+            "admitted": admitted_n,
+            "frontier_next": obs_next.get["n"],
         }
         adm.unpersist()
         fetched.unpersist()
@@ -319,5 +353,5 @@ class CrawlRun:
     def seen_urls(self) -> list[str]:
         """Final URL-seen set (from the authoritative linkbase)."""
         r = self.last_committed_round()
-        lb = self._read(r, "linkbase")
+        lb = self._linkbase(r)
         return sorted(row["url"] for row in lb.select("url").distinct().collect())
