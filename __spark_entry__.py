@@ -421,6 +421,86 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             urlkit.url_host(F.col("outlink")).alias("host")
         ).groupBy("host").agg(F.count("*").alias("n_links"))
 
+    def proxy_route(spark, sf):
+        """L3 (ip_url_split.cc:64-119): heavy ips routed via PROXY."""
+        from spider_spark import selector as sel
+
+        o = _t(spark, sf, "orders")
+        urls = o.select(
+            "o_orderkey",
+            F.concat(F.lit("ip-"), (F.col("o_custkey") % 20).cast("string"))
+            .alias("ip"),
+            F.lit("x.com").alias("domain"),
+        )
+        routed = sel.proxy_route(urls, threshold=800)
+        return routed.groupBy("ip", "use_proxy").agg(
+            F.count("*").alias("n")
+        )
+
+    def ip_load(spark, sf):
+        """A4 (ip_stat.cc:37-79): per-ip crawl-cost estimate."""
+        from spider_spark import selector as sel
+
+        o = _t(spark, sf, "orders")
+        urls = o.select(
+            F.concat(F.lit("ip-"), (F.col("o_custkey") % 50).cast("string"))
+            .alias("ip")
+        )
+        est = sel.ip_load_estimate(urls, None)
+        return est.select("ip", "n_urls", F.round("cost", 4).alias("cost"))
+
+    def url_transforms(spark, sf):
+        """P11-P13: TEL/QQ strip, AJAX #! rewrite, redirect unwrap."""
+        from spider_spark import selector as sel
+
+        p = _t(spark, sf, "part")
+        raw = p.select(
+            "p_partkey",
+            F.concat(F.lit("http://x.com/p/"),
+                     F.col("p_partkey").cast("string"),
+                     F.when(F.col("p_partkey") % 3 == 0, " TEL:12345")
+                     .when(F.col("p_partkey") % 3 == 1, "#!/sec/9")
+                     .otherwise("")).alias("raw"),
+        )
+        return raw.select(
+            "p_partkey",
+            sel.transform_ajax_url(
+                sel.strip_tel_qq(F.col("raw"))
+            ).alias("url"),
+        )
+
+    def eval_success(spark, sf):
+        """A10 (evaluation.h:7-30): top-N crawl success rate by decile."""
+        from spider_spark import selector as sel
+
+        c = _t(spark, sf, "customer")
+        o = _t(spark, sf, "orders")
+        w = Window.orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+        topn = (
+            c.withColumn("rank", F.row_number().over(w) - 1)
+            .filter(F.col("rank") < 100)
+            .select(F.col("c_custkey").alias("url"), "rank")
+        )
+        crawled = o.select(F.col("o_custkey").alias("url"))
+        return sel.crawl_success_eval(topn, crawled)
+
+    def ip_attach(spark, sf):
+        """J1+L5: dns dim join with deterministic ip pick (rows-only —
+        xxhash-derived ips have no SQL twin)."""
+        from spider_spark import selector as sel
+
+        ev = _t(spark, sf, "events")
+        urls = ev.select(
+            F.concat(F.lit("http://h"), (F.col("user_id") % 40).cast("string"),
+                     F.lit(".example.com/e/"),
+                     F.col("event_id").cast("string")).alias("url"),
+            F.concat(F.lit("h"), (F.col("user_id") % 40).cast("string"),
+                     F.lit(".example.com")).alias("host"),
+        )
+        dns = sel.synthetic_dns(spark, urls)
+        out = sel.attach_ip(urls, dns)
+        return out.groupBy("host", "ip").agg(F.count("*").alias("n"))
+
     def ann_ivf(spark, sf):
         """IVF-style ANN top-10 (approximate twin of knn_cosine)."""
         e = _t(spark, sf, "embeddings").select(
@@ -464,6 +544,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_shards": url_shards,
         "interleaved_outlinks": interleaved_outlinks,
         "ann_ivf": ann_ivf,
+        "proxy_route": proxy_route,
+        "ip_load": ip_load,
+        "url_transforms": url_transforms,
+        "eval_success": eval_success,
+        "ip_attach": ip_attach,
     }
 
 
@@ -735,7 +820,50 @@ def oracle_sql() -> dict[str, str]:
               DESC, vec_id
             LIMIT 10
         """,
-        # simhash_signs, url_shards, interleaved_outlinks, ann_ivf:
-        # hash-based / generator-native → rows-only check + pytest
-        # differentials (tests/test_simhash.py, tests/test_similarity.py).
+        "proxy_route": """
+            WITH counts AS (
+              SELECT 'ip-' || (o_custkey % 20) AS ip, COUNT(*) AS n
+              FROM orders GROUP BY 1)
+            SELECT ip,
+                   CASE WHEN n >= 800 THEN 'PROXY' ELSE 'DIRECT' END
+                     AS use_proxy,
+                   n
+            FROM counts
+        """,
+        "ip_load": """
+            SELECT ip, COUNT(*) AS n_urls,
+                   ROUND(COUNT(*) / 3.0, 4) AS cost
+            FROM (SELECT 'ip-' || (o_custkey % 50) AS ip FROM orders)
+            GROUP BY 1
+        """,
+        "url_transforms": """
+            SELECT p_partkey,
+                   CASE WHEN p_partkey % 3 = 0
+                          THEN 'http://x.com/p/' || p_partkey || ' '
+                        WHEN p_partkey % 3 = 1
+                          THEN 'http://x.com/p/' || p_partkey
+                               || '?_escaped_fragment_=/sec/9'
+                        ELSE 'http://x.com/p/' || p_partkey
+                   END AS url
+            FROM part
+        """,
+        "eval_success": """
+            WITH topn AS (
+              SELECT c_custkey AS url,
+                     ROW_NUMBER() OVER (
+                       ORDER BY c_acctbal DESC, c_custkey) - 1 AS rank
+              FROM customer QUALIFY rank < 100),
+            j AS (
+              SELECT LEAST(CAST(FLOOR(rank / 10) AS BIGINT), 9) AS decile,
+                     CASE WHEN url IN (SELECT o_custkey FROM orders)
+                          THEN 1 ELSE 0 END AS ok
+              FROM topn)
+            SELECT decile, COUNT(*) AS n,
+                   ROUND(AVG(ok), 6) AS success_rate
+            FROM j GROUP BY 1
+        """,
+        # simhash_signs, url_shards, interleaved_outlinks, ann_ivf,
+        # ip_attach: hash-based / generator-native → rows-only check +
+        # pytest differentials (tests/test_simhash.py, test_similarity.py,
+        # test_selector.py).
     }

@@ -4,23 +4,29 @@ local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
 Headline set = the operator families that dominate a 100-TB crawl round:
 partial-agg scan (pricing_summary), broadcast-join chain
 (revenue_per_nation), global sort+band (priority_bands), window top-k
-(topk_per_group), the pandas-UDF canonicalizer (canonicalize_urls),
-minhash-LSH near-dup (minhash_near_dups), simhash signatures
-(simhash_signs), brute-force ANN (knn_cosine), and a full synthetic
-crawl round (crawl_round).
+(topk_per_group), sessionization, the pandas-UDF canonicalizer
+(canonicalize_urls), minhash-LSH near-dup (minhash_near_dups), simhash
+signatures (simhash_signs), brute-force ANN (knn_cosine), and a full
+synthetic crawl round (crawl_round).
 
-Also reports two-parallelism scaling (local[N/4] vs local[N]) for the
-north-rule's two-cluster-size criterion when SPARK_GRAFT_SCALING=1.
+Scaling evidence (north-rule two-cluster-size criterion, run with
+SPARK_GRAFT_SCALING=1): the same large pre-materialized web is crawled at
+local[N/4] and local[N], each in a FRESH subprocess (cold JVM both — no
+JIT warm-up bias), and throughput scaling efficiency is reported.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import shutil
+import subprocess
 import sys
+import tempfile
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -37,6 +43,63 @@ HEADLINE = [
     "knn_cosine",
 ]
 
+# crawl-bench web sizes:
+# (n_hosts, pages_per_host, skew_pages, seed_mod, links_per_page)
+CRAWL_SIZES = {
+    "small": (2000, 30, 10_000, 12, 10),     # ~70k docs, ~320k scheduled
+    "large": (20_000, 30, 20_000, 10, 10),   # ~620k docs, ~320k scheduled
+    # scaling-evidence size: rounds big enough that parallel work dominates
+    # the ~8s/round fixed latency (Amdahl) — see BENCH notes
+    "xlarge": (40_000, 30, 20_000, 8, 15),   # ~1.2M docs, ~1M+ scheduled
+}
+
+
+def materialize_web(spark, size: str, path: str) -> None:
+    from spider_spark.spans import WebSpec, generate_documents
+
+    n_hosts, pph, skew, _, links = CRAWL_SIZES[size]
+    spec = WebSpec(n_hosts=n_hosts, pages_per_host=pph, skew_hosts=5,
+                   skew_pages=skew, links_per_page=links)
+    generate_documents(spark, spec).write.mode("overwrite").parquet(path)
+
+
+def crawl_round_bench(spark, size: str,
+                      docs_path: str | None = None) -> tuple[float, int]:
+    """Bootstrap + two politeness-gated crawl rounds; returns
+    (seconds, urls_scheduled). Web generation is excluded (the engine's
+    real input is a stored table)."""
+    from pyspark.sql import functions as F
+
+    from spider_spark.politeness import PolitenessSpec, synthetic_robots
+    from spider_spark.round import CrawlRun, RoundSpec
+    from spider_spark.spans import WebSpec, generate_documents
+
+    n_hosts, pph, skew, seed_mod, _links = CRAWL_SIZES[size]
+    work = tempfile.mkdtemp(prefix="bench_crawl_")
+    try:
+        if docs_path is None:
+            docs_path = work + "/docs"
+            materialize_web(spark, size, docs_path)
+        docs = spark.read.parquet(docs_path)
+        robots = synthetic_robots(spark, n_hosts)
+        run = CrawlRun(
+            spark, docs, robots, work + "/ck",
+            RoundSpec(n_buckets=64, max_depth=3, max_rounds=3,
+                      politeness=PolitenessSpec(qps=10.0, round_seconds=5.0),
+                      collect_ordering=False),
+        )
+        # deterministic host-spread seed sample (limit() on a parquet read
+        # can land on the skew hosts' files and politeness-starve round 0)
+        seeds = docs.select(docs.doc_id.alias("url")).filter(
+            F.pmod(F.xxhash64("url"), F.lit(seed_mod)) == 0
+        )
+        t0 = time.time()
+        run.bootstrap(seeds)
+        scheduled = sum(run.run_round(r)["admitted"] for r in range(2))
+        return time.time() - t0, scheduled
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
 
 def run_queries(spark, sf_dir: str) -> dict[str, float]:
     import __spark_entry__ as entrymod
@@ -45,102 +108,91 @@ def run_queries(spark, sf_dir: str) -> dict[str, float]:
     times: dict[str, float] = {}
     for name in HEADLINE:
         t0 = time.time()
-        df = qs[name](spark, sf_dir)
-        n = df.count()
+        n = qs[name](spark, sf_dir).count()
         times[name] = round(time.time() - t0, 3)
         assert n >= 0
     return times
 
 
-def crawl_round_bench(spark) -> tuple[float, int]:
-    """One politeness-gated crawl round over a synthetic web scaled to the
-    bench size: returns (seconds, urls_scheduled)."""
-    import shutil
-    import tempfile
-
-    from spider_spark.politeness import PolitenessSpec, synthetic_robots
-    from spider_spark.round import CrawlRun, RoundSpec
-    from spider_spark.spans import WebSpec, generate_documents
-
-    spec = WebSpec(n_hosts=2000, pages_per_host=30, skew_hosts=5,
-                   skew_pages=10_000, links_per_page=10)
-    work = tempfile.mkdtemp(prefix="bench_crawl_")
-    # materialize the synthetic web once — the engine's real input is a
-    # stored Iceberg table, so table generation is not part of the round
-    generate_documents(spark, spec).write.mode("overwrite").parquet(
-        work + "/docs"
+def crawl_subprocess(cpus: int, size: str, docs_path: str) -> dict:
+    """Run the crawl bench in a fresh python/JVM so both parallelism
+    levels start cold."""
+    env = dict(os.environ,
+               SPARK_GRAFT_CPUS=str(cpus),
+               SPARK_GRAFT_CRAWL_ONLY="1",
+               SPARK_GRAFT_CRAWL_SIZE=size,
+               SPARK_GRAFT_DOCS_PATH=docs_path)
+    env.pop("SPARK_GRAFT_SCALING", None)
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__)],
+        env=env, capture_output=True, text=True, cwd=REPO,
     )
-    docs = spark.read.parquet(work + "/docs")
-    robots = synthetic_robots(spark, spec.n_hosts)
-    run = CrawlRun(
-        spark, docs, robots, work + "/ck",
-        RoundSpec(n_buckets=64, max_depth=3, max_rounds=3,
-                  politeness=PolitenessSpec(qps=10.0, round_seconds=5.0),
-                  collect_ordering=False),
-    )
-    # deterministic host-spread seed sample (limit() on a parquet read can
-    # land entirely on the skew hosts' files and politeness-starve round 0)
-    from pyspark.sql import functions as F
-
-    seeds = docs.select(docs.doc_id.alias("url")).filter(
-        F.pmod(F.xxhash64("url"), F.lit(12)) == 0
-    )
-    t0 = time.time()
-    run.bootstrap(seeds)
-    scheduled = 0
-    for r in range(2):
-        scheduled += run.run_round(r)["admitted"]
-    dt = time.time() - t0
-    shutil.rmtree(work, ignore_errors=True)
-    return dt, scheduled
-
-
-def bench_at(cpus: int, sf_dir: str, with_crawl: bool = True) -> dict:
-    from spider_spark.session import get_spark
-
-    spark = get_spark(app=f"bench{cpus}", master=f"local[{cpus}]",
-                      shuffle_partitions=max(cpus, 8))
-    try:
-        t0 = time.time()
-        times = run_queries(spark, sf_dir)
-        out = {"queries": times, "total": round(time.time() - t0, 3)}
-        if with_crawl:
-            crawl_s, scheduled = crawl_round_bench(spark)
-            out["queries"]["crawl_round"] = round(crawl_s, 3)
-            out["urls_scheduled"] = scheduled
-            out["urls_scheduled_per_sec"] = round(scheduled / crawl_s, 1)
-            out["total"] = round(out["total"] + crawl_s, 3)
-        return out
-    finally:
-        spark.stop()
+    line = out.stdout.strip().splitlines()[-1]
+    return json.loads(line)
 
 
 def main() -> None:
+    from spider_spark.session import get_spark
+
+    if os.environ.get("SPARK_GRAFT_CRAWL_ONLY") == "1":
+        size = os.environ.get("SPARK_GRAFT_CRAWL_SIZE", "small")
+        docs_path = os.environ.get("SPARK_GRAFT_DOCS_PATH") or None
+        spark = get_spark(app=f"crawlbench{CPUS}", master=f"local[{CPUS}]",
+                          shuffle_partitions=max(CPUS, 8))
+        dt, scheduled = crawl_round_bench(spark, size, docs_path)
+        spark.stop()
+        print(json.dumps({"crawl_round_sec": round(dt, 3),
+                          "scheduled": scheduled,
+                          "urls_per_sec": round(scheduled / dt, 1),
+                          "cpus": CPUS}))
+        return
+
     sf = SF_DIR.rstrip("/").split("/")[-1].replace("sf", "")
-    res = bench_at(CPUS, SF_DIR)
+    spark = get_spark(app=f"bench{CPUS}", master=f"local[{CPUS}]",
+                      shuffle_partitions=max(CPUS, 8))
+    t0 = time.time()
+    times = run_queries(spark, SF_DIR)
+    crawl_s, scheduled = crawl_round_bench(spark, "small")
+    times["crawl_round"] = round(crawl_s, 3)
+    total = round(time.time() - t0, 3)
+    spark.stop()
+
     line = {
         "metric": "headline query wall-time + crawl-round URLs scheduled/sec",
-        "value": res["total"],
+        "value": total,
         "unit": "sec",
-        "queries": res["queries"],
+        "queries": times,
         "sf": float(sf) if sf else None,
         "cpus": CPUS,
-        "urls_scheduled_per_sec": res.get("urls_scheduled_per_sec"),
+        "urls_scheduled_per_sec": round(scheduled / crawl_s, 1),
     }
+
     if os.environ.get("SPARK_GRAFT_SCALING") == "1":
-        small = max(CPUS // 4, 1)
-        res_small = bench_at(small, SF_DIR)
-        tput_big = res["urls_scheduled_per_sec"]
-        tput_small = res_small["urls_scheduled_per_sec"]
-        line["scaling"] = {
-            "cpus_small": small,
-            "cpus_big": CPUS,
-            "crawl_round_sec_small": res_small["queries"]["crawl_round"],
-            "crawl_round_sec_big": res["queries"]["crawl_round"],
-            "urls_per_sec_small": tput_small,
-            "urls_per_sec_big": tput_big,
-            "efficiency": round(tput_big / (tput_small * (CPUS / small)), 3),
-        }
+        size = os.environ.get("SPARK_GRAFT_SCALING_SIZE", "large")
+        small_cpus = max(CPUS // 4, 1)
+        web_dir = tempfile.mkdtemp(prefix="bench_web_")
+        try:
+            gen = get_spark(app="webgen", master=f"local[{CPUS}]",
+                            shuffle_partitions=max(CPUS, 8))
+            materialize_web(gen, size, web_dir + "/docs")
+            gen.stop()
+            res_small = crawl_subprocess(small_cpus, size, web_dir + "/docs")
+            res_big = crawl_subprocess(CPUS, size, web_dir + "/docs")
+            speedup = res_big["urls_per_sec"] / res_small["urls_per_sec"]
+            line["scaling"] = {
+                "size": size,
+                "cpus_small": small_cpus,
+                "cpus_big": CPUS,
+                "crawl_round_sec_small": res_small["crawl_round_sec"],
+                "crawl_round_sec_big": res_big["crawl_round_sec"],
+                "urls_per_sec_small": res_small["urls_per_sec"],
+                "urls_per_sec_big": res_big["urls_per_sec"],
+                "speedup": round(speedup, 3),
+                "efficiency": round(speedup / (CPUS / small_cpus), 3),
+            }
+        finally:
+            shutil.rmtree(web_dir, ignore_errors=True)
+
     print(json.dumps(line))
 
 

@@ -1,0 +1,252 @@
+"""Selector / scheduler operators completing SURVEY §2 coverage:
+multi-source frontier union, VIP gating, search-page limits, URL
+transforms, proxy routing, DNS dim, updater recrawl, evaluation.
+
+All cites into /root/reference:
+
+- U2  multi-source union with ``from`` codes
+  (selector/mr_selector_r1_mapper.cc:127-440; codes U,P,S,N,E,L,M,A,V,K
+  crawler/proto/crawled_resource.proto:41-50)
+- P9  VIP URLs always crawl (crawler_selector_util.h:21-34)
+- P10 search-result page-N keep (crawler_selector_util.h:36-63)
+- P11 TEL:/QQ: suffix strip (mr_selector_r1_mapper.cc:370-387)
+- P12 AJAX #! → _escaped_fragment_ (crawl/crawl_util.h:6-10)
+- P13 redirect-target unwrap (log_analysis/common/baidu_target_url.cc,
+  google_target_url.cc)
+- L3  per-ip URL-count proxy routing (control/schedule/ip_url_split.cc:64-119)
+- L5  DNS host→ip dim (util/dns_resolve.h:13-50 — synthetic deterministic)
+- A4  ip load / time-to-crawl (control/schedule/ip_stat.cc:37-79)
+- J1  ip attach with deterministic pick (control/schedule/url_to_ip.cc:53-91)
+- U5  updater: stale-page recrawl from stored headers
+  (updater/mr_updater_mapper.cc:40-75)
+- A10 crawl-success evaluation (evaluation/evaluation.h:7-30)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+# source codes, crawled_resource.proto:41-50 / mr_selector_r1_mapper.cc:118-125
+FROM_CODES = {
+    "seed": "U", "pagebase": "P", "search_log": "S", "navi_boost": "N",
+    "newlink": "E", "linkbase": "L", "updater": "M", "uv_rank": "A",
+    "vip": "V", "click_rank": "K",
+}
+# dispatcher source rank: E > S > A (reducer_compress_control.cc:40-61)
+FROM_RANK = {"E": 0, "S": 1, "A": 2, "U": 3, "V": 3, "K": 4, "N": 5,
+             "P": 6, "L": 7, "M": 8}
+
+
+def union_sources(sources: dict[str, DataFrame]) -> DataFrame:
+    """U2: union per-source frontiers, each tagged with its ``from`` code.
+    Every input needs a ``url`` column; extra columns are name-aligned
+    (missing ones null-filled)."""
+    tagged = []
+    for kind, df in sorted(sources.items()):
+        code = FROM_CODES.get(kind, kind)
+        tagged.append(df.withColumn("from", F.lit(code)))
+    out = tagged[0]
+    for t in tagged[1:]:
+        out = out.unionByName(t, allowMissingColumns=True)
+    return out
+
+
+def from_rank(from_col: Column) -> Column:
+    """Source-priority rank for the dispatcher comparator."""
+    expr = F.lit(9)
+    for code, rank in FROM_RANK.items():
+        expr = F.when(from_col == code, F.lit(rank)).otherwise(expr)
+    return expr
+
+
+def is_vip(from_col: Column, url: Column) -> Column:
+    """P9: VIP = seeds, search-click pages, site homepages — always crawl
+    (bypasses the seen-drop in J4)."""
+    homepage = url.rlike(r"^[a-z]+://[^/]+/$")
+    return from_col.isin("U", "V", "S", "K") | homepage
+
+
+_SEARCH_PAGE_PARAMS = {
+    "www.google.com": ("start", 10),   # page = start/10 + 1
+    "www.baidu.com": ("pn", 10),
+    "www.bing.com": ("first", 10),
+    "www.sogou.com": ("page", 1),
+    "www.soso.com": ("page", 1),
+}
+
+
+def search_page_number(host: Column, query: Column) -> Column:
+    """P10: result-page number of a search URL, 1 when no page param."""
+    page = F.lit(1)
+    for h, (param, step) in _SEARCH_PAGE_PARAMS.items():
+        raw = F.regexp_extract(query, rf"(?:^|&){param}=(\d+)", 1)
+        val = F.when(raw == "", F.lit(1)).otherwise(
+            (raw.cast("int") / step + 1).cast("int") if step > 1
+            else raw.cast("int")
+        )
+        page = F.when(host == h, val).otherwise(page)
+    return page
+
+
+def keep_first_n_search_pages(df: DataFrame, host_col: str = "host",
+                              query_col: str = "query",
+                              n: int = 3) -> DataFrame:
+    return df.filter(
+        search_page_number(F.col(host_col), F.col(query_col)) <= n
+    )
+
+
+def strip_tel_qq(url: Column) -> Column:
+    """P11: cut TEL:…/QQ:… garbage suffixes from log URLs."""
+    return F.regexp_replace(url, r"(?i)(TEL|QQ):.*$", "")
+
+
+def transform_ajax_url(url: Column) -> Column:
+    """P12: #! AJAX URLs → _escaped_fragment_ crawlable form."""
+    has_bang = url.contains("#!")
+    frag = F.regexp_extract(url, r"#!(.*)$", 1)
+    base = F.regexp_replace(url, r"#!.*$", "")
+    sep = F.when(base.contains("?"), F.lit("&")).otherwise(F.lit("?"))
+    return F.when(
+        has_bang,
+        F.concat(base, sep, F.lit("_escaped_fragment_="), frag),
+    ).otherwise(url)
+
+
+def unwrap_redirect_target(url: Column) -> Column:
+    """P13: extract the real target from search-engine redirect links
+    (…&url=<target>… / …&q=<target>…); pass-through otherwise."""
+    target = F.coalesce(
+        F.nullif(F.regexp_extract(url, r"[?&]url=([^&#]+)", 1), F.lit("")),
+        F.nullif(F.regexp_extract(url, r"[?&]q=(https?[^&#]+)", 1), F.lit("")),
+    )
+    from urllib.parse import unquote  # noqa: F401  (decode left to canonicalizer)
+
+    return F.coalesce(
+        F.url_decode(target),
+        url,
+    )
+
+
+# -- DNS / ip attach / proxy / load (L5, J1, L3, A4) ------------------------
+
+
+def synthetic_dns(spark: SparkSession, hosts: DataFrame,
+                  host_col: str = "host", n_ips_max: int = 3,
+                  seed: int = 42) -> DataFrame:
+    """L5: deterministic host→ips dim (multi-ip hosts get hash-derived
+    addresses) — the resolve step's output contract without the resolver."""
+    h = hosts.select(host_col).distinct()
+    n_ips = (F.pmod(F.xxhash64(F.col(host_col), F.lit(seed)),
+                    F.lit(n_ips_max)) + 1).cast("int")
+    idx = F.sequence(F.lit(0), n_ips - 1)
+    ip_of = lambda i: F.concat_ws(
+        ".",
+        F.lit("10"),
+        F.pmod(F.xxhash64(F.col(host_col), i), F.lit(250)).cast("string"),
+        F.pmod(F.xxhash64(F.col(host_col), i + 1000), F.lit(250)).cast("string"),
+        F.pmod(F.xxhash64(F.col(host_col), i + 2000), F.lit(250)).cast("string"),
+    )
+    return h.select(
+        host_col,
+        F.transform(idx, ip_of).alias("ips"),
+    )
+
+
+def attach_ip(urls: DataFrame, dns: DataFrame,
+              host_col: str = "host", url_col: str = "url") -> DataFrame:
+    """J1 (url_to_ip.cc:53-91): broadcast-join the dns dim and pick one ip
+    per url — the reference picks randomly (:82); we pick deterministically
+    by url hash (§4 determinism rule)."""
+    j = urls.join(F.broadcast(dns), host_col, "left")
+    pick = F.element_at(
+        F.col("ips"),
+        (F.pmod(F.xxhash64(F.col(url_col)), F.size("ips")) + 1).cast("int"),
+    )
+    return j.withColumn(
+        "ip", F.when(F.col("ips").isNull(), F.lit(None)).otherwise(pick)
+    ).drop("ips")
+
+
+def proxy_route(urls: DataFrame, ip_col: str = "ip",
+                threshold: int = 100_000,
+                proxy_domains: list[str] | None = None,
+                domain_col: str = "domain") -> DataFrame:
+    """L3 (ip_url_split.cc:64-119): ips carrying ≥ threshold URLs (or
+    whitelisted domains) route via PROXY."""
+    w = Window.partitionBy(ip_col)
+    cnt = F.count("*").over(w)
+    is_proxy = cnt >= threshold
+    if proxy_domains:
+        is_proxy = is_proxy | F.col(domain_col).isin(proxy_domains)
+    return urls.withColumn(
+        "use_proxy", F.when(is_proxy, "PROXY").otherwise("DIRECT")
+    )
+
+
+def ip_load_estimate(urls: DataFrame, ip_loads: DataFrame | None = None,
+                     ip_col: str = "ip",
+                     default_qps: float = 3.0) -> DataFrame:
+    """A4 (ip_stat.cc:37-79): per-ip URL count / qps → estimated seconds
+    to crawl (the bin-pack cost)."""
+    counts = urls.groupBy(ip_col).agg(F.count("*").alias("n_urls"))
+    if ip_loads is not None:
+        counts = counts.join(F.broadcast(ip_loads), ip_col, "left")
+        qps = F.coalesce(F.col("qps"), F.lit(default_qps))
+    else:
+        qps = F.lit(default_qps)
+    return counts.withColumn(
+        "cost", (F.col("n_urls") / qps).cast("double")
+    ).select(ip_col, "n_urls", "cost")
+
+
+# -- updater (U5) -----------------------------------------------------------
+
+
+def updater_candidates(linkbase: DataFrame, now_ts: int,
+                       max_age_s: int = 7 * 86_400,
+                       header_col: str = "http_header",
+                       url_col: str = "url") -> DataFrame:
+    """U5 (mr_updater_mapper.cc:40-75): parse Last-Modified/Date from the
+    stored header, keep the latest record per url, emit recrawl tasks
+    (from='M') for pages older than ``max_age_s``. Timestamps are expected
+    pre-parsed to epoch seconds in ``last_fetch_ts`` when headers absent."""
+    lm = F.regexp_extract(F.col(header_col), r"(?i)Last-Modified:\s*([^\r\n]+)", 1)
+    dt = F.regexp_extract(F.col(header_col), r"(?i)Date:\s*([^\r\n]+)", 1)
+    raw = F.coalesce(F.nullif(lm, F.lit("")), F.nullif(dt, F.lit("")))
+    # Spark's post-3.0 parser rejects the EEE weekday field — strip it
+    header_ts = F.unix_timestamp(
+        F.regexp_replace(raw, r"^[A-Za-z]+,\s*", ""),
+        "dd MMM yyyy HH:mm:ss zzz",
+    )
+    eff_ts = F.coalesce(header_ts, F.col("last_fetch_ts"))
+    w = Window.partitionBy(url_col).orderBy(F.desc("last_fetch_ts"))
+    latest = (
+        linkbase.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    return (
+        latest.withColumn("age_s", F.lit(now_ts) - eff_ts)
+        .filter(F.col("age_s") >= max_age_s)
+        .select(url_col, F.lit("M").alias("from"), "age_s")
+    )
+
+
+# -- evaluation (A10) -------------------------------------------------------
+
+
+def crawl_success_eval(topn: DataFrame, crawled: DataFrame,
+                       url_col: str = "url") -> DataFrame:
+    """A10 (evaluation.h:7-30): success-rate of the top-N demand list
+    against the crawled set, overall and by rank decile."""
+    j = topn.join(
+        crawled.select(url_col).distinct().withColumn("ok", F.lit(1)),
+        url_col, "left",
+    ).withColumn("ok", F.coalesce(F.col("ok"), F.lit(0)))
+    decile = F.least(F.floor(F.col("rank") / 10), F.lit(9)).alias("decile")
+    return j.groupBy(decile).agg(
+        F.count("*").alias("n"),
+        F.round(F.avg("ok"), 6).alias("success_rate"),
+    )

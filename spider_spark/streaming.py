@@ -1,0 +1,115 @@
+"""Structured-Streaming rendering of the online crawl loop (SURVEY §2.11).
+
+The reference's "streaming" is hand-rolled queue polling
+(crawler2/general_crawler/scheduler.cc:316-438: reserve job → validate →
+seen-check → score → dispatch). The Spark-native mapping:
+
+- frontier deltas arrive as files in a watched directory (the beanstalkd
+  tube role) → ``readStream`` file source
+- each micro-batch runs the same candidate-hygiene + admission pipeline
+  as the batch round via ``foreachBatch`` (so batch and streaming share
+  one implementation — no twin drift)
+- recrawl-TTL (scheduler.cc:381-393, 86400s) maps to an event-time
+  condition; late/duplicate URLs older than the TTL pass the seen-filter
+- watermarked session/window aggregations over the pv stream
+  (log_analysis sessions, §2.10) use ``session_window``/``window``
+
+Tests drive this with the ``availableNow`` trigger (bounded drain —
+deterministic), which is also the production backfill mode.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+FRONTIER_DELTA_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("depth", T.IntegerType(), False),
+        T.StructField("referer", T.StringType(), True),
+    ]
+)
+
+
+def frontier_stream(spark: SparkSession, delta_dir: str,
+                    max_files_per_trigger: int | None = None) -> DataFrame:
+    """File-source stream of frontier deltas (the scheduler tube)."""
+    reader = (
+        spark.readStream.schema(FRONTIER_DELTA_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger or 10)
+    )
+    return reader.parquet(delta_dir)
+
+
+def run_stream_rounds(
+    stream: DataFrame,
+    process_batch: Callable[[DataFrame, int], None],
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Drive micro-batch crawl rounds over a frontier stream. Each batch
+    is handed to ``process_batch(batch_df, batch_id)`` — in production the
+    CrawlRun round body; the checkpoint dir gives exactly-once file
+    tracking (donelist role). Returns the streaming query (caller awaits
+    termination)."""
+    writer = stream.writeStream.foreachBatch(process_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def sessionized_pv_stream(pv_stream: DataFrame, gap: str = "5 minutes",
+                          watermark: str = "30 minutes",
+                          ts_col: str = "ts",
+                          uid_col: str = "uid") -> DataFrame:
+    """Streaming analogue of logs.sessionize: per-uid session windows with
+    a watermark bounding late data (pvlog_segmenter.h:80-94 semantics at
+    stream granularity)."""
+    return (
+        pv_stream.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap).alias("session"),
+                 F.col(uid_col))
+        .agg(
+            F.count("*").alias("n_hits"),
+            F.min(ts_col).alias("first_hit"),
+            F.max(ts_col).alias("last_hit"),
+        )
+    )
+
+
+def windowed_host_counts(stream: DataFrame, window: str = "10 seconds",
+                         watermark: str = "30 seconds",
+                         ts_col: str = "ts",
+                         host_col: str = "host") -> DataFrame:
+    """Tumbling-window per-host fetch counts — the streaming view of the
+    per-host QPS accounting (load_controller.cc:149-201)."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("w"),
+                 F.col(host_col))
+        .agg(F.count("*").alias("n_fetches"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            host_col,
+            "n_fetches",
+        )
+    )
+
+
+def ttl_gate(candidates: DataFrame, url_status: DataFrame,
+             now_ts: int, ttl_s: int = 86_400) -> DataFrame:
+    """Recrawl-TTL seen-gate (scheduler.cc:289-314, 381-393): a URL whose
+    latest crawl is older than ``ttl_s`` is re-admitted; fresher ones are
+    dropped. ``url_status``: (url, latest_crawl_ts)."""
+    j = candidates.join(url_status, "url", "left")
+    keep = (
+        F.col("latest_crawl_ts").isNull()
+        | (F.col("latest_crawl_ts") < F.lit(now_ts - ttl_s))
+    )
+    return j.filter(keep).drop("latest_crawl_ts")

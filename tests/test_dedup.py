@@ -1,0 +1,81 @@
+"""Dedup family: exact, minhash-LSH (differential vs exact Jaccard),
+embedding near-dup."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from spider_spark import dedup
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    base = [
+        "the quick brown fox jumps over the lazy dog and runs far away today",
+        "spark shuffles partition data across the cluster with hash keys",
+        "completely different text about parquet files and column pruning",
+        "politeness budgets throttle crawl rates per host every round",
+    ]
+    rows = []
+    for i, t in enumerate(base):
+        rows.append((i, t))
+        rows.append((100 + i, t))                       # exact dup
+        rows.append((200 + i, t + " extra"))            # near dup
+    rows.append((999, "singleton document with unique words only here"))
+    return spark.createDataFrame(rows, "doc_id long, text string").cache()
+
+
+def test_exact_duplicates(corpus):
+    groups = dedup.exact_duplicates(corpus).collect()
+    assert len(groups) == 4
+    for g in groups:
+        assert g["n_docs"] == 2
+        assert g["keep_id"] == min(g["all_ids"])
+
+
+def test_dedup_exact_keeps_min_id(corpus):
+    kept = dedup.dedup_exact(corpus)
+    ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    assert ids == {0, 1, 2, 3, 200, 201, 202, 203, 999}
+
+
+def test_lsh_candidates_recall_vs_exact(spark, corpus):
+    """LSH candidates ⊇ all pairs with Jaccard ≥ 0.8 (differential)."""
+    cand = dedup.lsh_candidates(corpus, k=128, bands=32)
+    all_pairs = (
+        corpus.select(F.col("doc_id").alias("a"))
+        .crossJoin(corpus.select(F.col("doc_id").alias("b")))
+        .filter(F.col("a") < F.col("b"))
+    )
+    exact = dedup.ngram_jaccard_pairs(corpus, all_pairs, threshold=0.8)
+    exact_set = {(r["a"], r["b"]) for r in exact.collect()}
+    cand_set = {(r["a"], r["b"]) for r in cand.collect()}
+    assert exact_set, "fixture should contain true near-dup pairs"
+    missed = exact_set - cand_set
+    assert not missed, f"LSH missed true pairs: {missed}"
+
+
+def test_minhash_pipeline_verified(corpus):
+    out = dedup.minhash_near_duplicates(corpus, threshold=0.8)
+    pairs = {(r["a"], r["b"]): r["jaccard"] for r in out.collect()}
+    # exact dups have jaccard 1.0
+    for i in range(4):
+        assert pairs[(i, 100 + i)] == 1.0
+    # all surviving pairs meet the threshold
+    assert all(j >= 0.8 for j in pairs.values())
+
+
+def test_embedding_near_duplicates(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    vecs = rng.normal(size=(40, 16)).astype(float)
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    # plant two exact copies
+    rows.append((100, rows[3][1]))
+    rows.append((101, rows[7][1]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = dedup.embedding_near_duplicates(emb, threshold=0.99)
+    got = {(r["a"], r["b"]) for r in out.collect()}
+    assert (3, 100) in got and (7, 101) in got

@@ -1,0 +1,76 @@
+"""Log-analytics operators (J5/J6, A5-A7, session segmentation)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from spider_spark import logs
+
+
+def test_resolve_md5_urls_latest_wins(spark):
+    pv = spark.createDataFrame(
+        [("m1", "r1"), ("m2", None)], "url_md5 string, ref_md5 string"
+    )
+    md5_map = spark.createDataFrame(
+        [
+            ("m1", "http://a.com/old", 1),
+            ("m1", "http://a.com/new", 5),   # latest ts wins (pv_r1.cc:244)
+            ("r1", "http://ref.com/", 2),
+        ],
+        "md5 string, url string, ts int",
+    )
+    out = logs.resolve_md5_urls(pv, md5_map).collect()
+    row = [r for r in out if r["url_md5"] == "m1"][0]
+    assert row["url_literal"] == "http://a.com/new"
+    assert row["ref_literal"] == "http://ref.com/"
+    row2 = [r for r in out if r["url_md5"] == "m2"][0]
+    assert row2["url_literal"] is None
+
+
+def test_search_click_join_drops_ads(spark):
+    search = spark.createDataFrame(
+        [("u1", "http://x/", "q", 3), ("u1", "http://y/", "q", 11)],
+        "uid string, url string, query string, rank int",
+    )
+    pv = spark.createDataFrame(
+        [("u1", "http://x/", 100), ("u1", "http://y/", 100)],
+        "uid string, url string, ts int",
+    )
+    out = logs.search_click_join(search, pv).collect()
+    assert len(out) == 1                       # rank 11 > 10 dropped (ads)
+    assert out[0]["url"] == "http://x/"
+
+
+def test_query_user_counts_exact_vs_approx(spark):
+    search = spark.createDataFrame(
+        [("q1", f"u{i % 7}") for i in range(50)] + [("q2", "u1")],
+        "query string, uid string",
+    )
+    exact = {r["query"]: r["n_users"]
+             for r in logs.query_user_counts(search).collect()}
+    assert exact == {"q1": 7, "q2": 1}
+    approx = {r["query"]: r["n_users"]
+              for r in logs.query_user_counts(search, approximate=True).collect()}
+    assert abs(approx["q1"] - 7) <= 1          # HLL within tolerance
+
+
+def test_sessionize_gaps(spark):
+    # uid u1: hits at 0s, 100s, 500s (gap 400 > 300 → new session),
+    # 520s with referer (gap 20 < 1800 → same session)
+    pv = spark.createDataFrame(
+        [
+            ("u1", 0.0, None),
+            ("u1", 100.0, None),
+            ("u1", 500.0, None),
+            ("u1", 520.0, "http://r/"),
+            ("u2", 0.0, None),
+        ],
+        "uid string, ts double, ref string",
+    )
+    out = logs.sessionize(pv, no_ref_gap=300.0, ref_gap=1800.0)
+    got = {(r["uid"], r["ts"]): r["session_id"] for r in out.collect()}
+    assert got[("u1", 0.0)] == 0
+    assert got[("u1", 100.0)] == 0
+    assert got[("u1", 500.0)] == 1
+    assert got[("u1", 520.0)] == 1
+    assert got[("u2", 0.0)] == 0

@@ -1,0 +1,62 @@
+"""Similarity search: brute-force exact top-k + IVF recall."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from spider_spark import similarity as sim
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    rng = np.random.RandomState(11)
+    vecs = rng.normal(size=(200, 16))
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    return df.cache()
+
+
+@pytest.fixture(scope="module")
+def query(emb):
+    return list(emb.filter(F.col("vec_id") == 0).first()["embedding"])
+
+
+def test_knn_brute_matches_numpy(emb, query):
+    got = sim.knn_brute(emb, query, k=5).collect()
+    vecs = {r["vec_id"]: np.array(r["embedding"]) for r in emb.collect()}
+    q = np.array(query)
+    cos = {
+        i: float(v @ q / (np.linalg.norm(v) * np.linalg.norm(q)))
+        for i, v in vecs.items()
+    }
+    want = sorted(cos, key=lambda i: (-cos[i], i))[:5]
+    assert [r["vec_id"] for r in got] == want
+    for r in got:
+        assert abs(r["cosine"] - cos[r["vec_id"]]) < 1e-9
+
+
+def test_knn_ivf_recall(emb, query):
+    """IVF with generous probes must recover most of the exact top-10."""
+    exact = {r["vec_id"] for r in sim.knn_brute(emb, query, k=10).collect()}
+    approx = {
+        r["vec_id"]
+        for r in sim.knn_ivf(emb, query, k=10, n_centroids=8,
+                             n_probe=6).collect()
+    }
+    assert len(exact & approx) >= 7
+
+
+def test_hyperplane_bucket_groups_identical_vectors(spark, emb):
+    doubled = emb.unionByName(
+        emb.select((F.col("vec_id") + 1000).alias("vec_id"), "embedding")
+    )
+    b = doubled.select(
+        "vec_id",
+        sim.hyperplane_bucket(F.col("embedding"), doubled, n_planes=8)
+        .alias("bucket"),
+    )
+    buckets = {r["vec_id"]: r["bucket"] for r in b.collect()}
+    for i in range(200):
+        assert buckets[i] == buckets[i + 1000]  # identical vec → same bucket
