@@ -24,9 +24,11 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
 
 # LoadController defaults (load_controller.h:41-48)
 DEFAULT_QPS = 3.0
@@ -179,6 +181,101 @@ def update_host_state(host_state: DataFrame, fetch_results: DataFrame,
 
 def init_host_state(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame([], HOST_STATE_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# robots.txt parsing (the other half of L6: raw fetched robots bodies →
+# rules dim; robots_parser_mapper.py:26-49 CanFetch / 51-119 parse loop)
+# --------------------------------------------------------------------------
+
+def parse_robots_txt(robots_bodies: DataFrame, host_col: str = "host",
+                     body_col: str = "body",
+                     agent: str = "spider") -> DataFrame:
+    """Vectorized robots.txt parser: per host body → ROBOTS_SCHEMA row.
+
+    Honors the reference's policy shape (robots_parser_mapper.py): rules
+    under ``User-agent: *`` or a group matching ``agent`` apply; a group
+    with no Disallow lines (or an empty ``Disallow:``) allows all. Runs as
+    a grouped pandas kernel over Arrow batches — no per-row Python in the
+    Spark plan, parsing is plain-python over each (small) body.
+    """
+    agent_l = agent.lower()
+
+    def parse_one(body: str) -> tuple[bool, bool, list[str]]:
+        if body is None or not body.strip():
+            return (False, True, [])
+        prefixes: list[str] = []
+        applies = False
+        saw_group = False
+        for line in body.splitlines():
+            line = line.split("#", 1)[0].strip()
+            if not line or ":" not in line:
+                continue
+            key, _, val = line.partition(":")
+            key, val = key.strip().lower(), val.strip()
+            if key == "user-agent":
+                applies = val == "*" or agent_l in val.lower()
+                saw_group = saw_group or applies
+            elif key == "disallow" and applies and val:
+                prefixes.append(val)
+        if not saw_group:
+            return (True, True, [])
+        return (True, not prefixes, prefixes)
+
+    @pandas_udf(
+        "struct<has_robots:boolean,allow_all:boolean,"
+        "disallow_prefixes:array<string>>"
+    )
+    def _parse(bodies: pd.Series) -> pd.DataFrame:
+        rows = [parse_one(b) for b in bodies]
+        return pd.DataFrame(
+            rows, columns=["has_robots", "allow_all", "disallow_prefixes"]
+        )
+
+    return robots_bodies.select(
+        F.col(host_col).alias("host"), _parse(F.col(body_col)).alias("r")
+    ).select("host", "r.has_robots", "r.allow_all", "r.disallow_prefixes")
+
+
+# --------------------------------------------------------------------------
+# URL categorizer gate (P8: category id per url from a broadcast rule
+# table; drop below-threshold ids — uv_data.cc:183-189, scheduler.cc:171-189)
+# --------------------------------------------------------------------------
+
+CATEGORY_SPLIT_FOR_CRAWLER = 100  # kSplitLineForCrawler role
+
+
+def categorize_url(urls: DataFrame, rules: DataFrame,
+                   url_col: str = "url") -> DataFrame:
+    """Attach ``category_id`` from the first matching regex rule
+    (broadcast rule dim: pattern, category_id, ordered by rule_order);
+    unmatched URLs get category 0."""
+    r = F.broadcast(rules.orderBy("rule_order"))
+    j = urls.join(
+        r, F.expr(f"{url_col} rlike pattern"), "left"
+    )
+    w = Window.partitionBy(url_col).orderBy(F.asc_nulls_last("rule_order"))
+    return (
+        j.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .withColumn("category_id",
+                    F.coalesce(F.col("category_id"), F.lit(0)))
+        .drop("_rn", "pattern", "rule_order")
+    )
+
+
+def category_gate(categorized: DataFrame,
+                  threshold: int = CATEGORY_SPLIT_FOR_CRAWLER,
+                  keep_special: DataFrame | None = None) -> DataFrame:
+    """Drop category ids below the crawler threshold; ``keep_special``
+    (url list) overrides — list/special pages always pass."""
+    kept = categorized.filter(F.col("category_id") >= threshold)
+    if keep_special is not None:
+        extra = categorized.join(
+            F.broadcast(keep_special), "url", "left_semi"
+        )
+        kept = kept.unionByName(extra).dropDuplicates(["url"])
+    return kept
 
 
 # --------------------------------------------------------------------------

@@ -106,9 +106,17 @@ class CrawlRun:
         # persist a generator-backed docs DataFrame re-runs generation +
         # extraction per action (the dominant cost in profiling).
         self.docs = docs
-        self.adjacency = extract_outlinks(docs).persist()
+        # explicit partition counts: a parquet-backed docs table can read
+        # as a handful of 128MB splits, and every downstream stage of the
+        # cached adjacency would inherit that ceiling (measured 2-3x
+        # scaling loss) — spread to the session's full parallelism
+        n_part = spark.sparkContext.defaultParallelism * 2
+        self.adjacency = (
+            extract_outlinks(docs).repartition(n_part, "doc_id").persist()
+        )
         self.doc_urls = (
-            docs.select(F.col("doc_id").alias("url")).distinct().persist()
+            docs.select(F.col("doc_id").alias("url"))
+            .repartition(n_part, "url").distinct().persist()
         )
 
     # -- candidate hygiene: one place that turns raw urls into frontier rows
@@ -267,11 +275,17 @@ class CrawlRun:
         parent_depth = fetched.select(
             F.col("url").alias("referer"), F.col("depth").alias("pdepth")
         )
-        new_cand = self._prepare_candidates(
-            new_links.join(parent_depth, "referer", "inner").select(
-                "url", (F.col("pdepth") + 1).alias("depth"), "referer"
-            )
+        new_raw = new_links.join(parent_depth, "referer", "inner").select(
+            "url", (F.col("pdepth") + 1).alias("depth"), "referer"
         )
+        # pre-UDF dedupe: many pages link to the same targets, so collapse
+        # raw outlinks (min depth / min referer — same rule the frontier
+        # merge applies) BEFORE the canonicalize UDF and rule gates run.
+        # Measured ~9x fewer rows through the Python stage at bench scale.
+        new_raw = new_raw.groupBy("url").agg(
+            F.min("depth").alias("depth"), F.min("referer").alias("referer")
+        )
+        new_cand = self._prepare_candidates(new_raw)
 
         # 5. next frontier = carry ∪ new, minus just-admitted, deduped by
         #    url keeping min depth (deterministic referer = min by url).
