@@ -64,6 +64,7 @@ class PolitenessSpec:
     holdon_rounds: int = 1           # ≈ HOLDON_SECONDS / round_seconds
     max_failed_times: int = MAX_FAILED_TIMES
     robots_policy_level: int = 2     # strict spider: crawl level ≥ 2
+    salt_buckets: int = 16           # two-level admission salt (skew guard)
 
     @property
     def default_budget(self) -> int:
@@ -131,17 +132,37 @@ def admit_round(candidates: DataFrame, host_state: DataFrame,
         budget_col = F.coalesce(F.col("budget"), F.lit(spec.default_budget))
     else:
         budget_col = F.lit(spec.default_budget)
-    w = Window.partitionBy("host").orderBy(
-        F.asc("priority"), F.desc("score"), F.asc("url")
-    )
+    order = (F.asc("priority"), F.desc("score"), F.asc("url"))
+
+    # two-level salted top-k (the J2/robots skew trick made deterministic):
+    # a mega-host's candidates would otherwise sort inside ONE window
+    # partition. Level 1 keeps each (host, salt)'s local top-budget — the
+    # global per-host top-budget is a subset of the union, so level 2 over
+    # the ~budget*n_salt survivors is exact and tiny.
+    if spec.salt_buckets > 1:
+        salt = F.pmod(F.xxhash64("url"), F.lit(spec.salt_buckets))
+        w1 = Window.partitionBy("host", salt.alias("_salt")).orderBy(*order)
+        c = c.withColumn("_rn1", F.row_number().over(w1))
+        pruned = c.filter(F.col("_rn1") <= budget_col)
+        rest = c.filter(F.col("_rn1") > budget_col).withColumn(
+            "admitted", F.lit(False)
+        )
+    else:
+        pruned, rest = c, None
+
+    w = Window.partitionBy("host").orderBy(*order)
     blocked = (
         F.coalesce(F.col("dropped"), F.lit(False))
         | (F.coalesce(F.col("holdon_until_round"), F.lit(-1)) >= round_no)
     )
-    out = c.withColumn("rn", F.row_number().over(w)).withColumn(
+    out = pruned.withColumn("rn", F.row_number().over(w)).withColumn(
         "admitted", ~blocked & (F.col("rn") <= budget_col)
-    )
-    drop_cols = ["rn", "consec_failures", "holdon_until_round", "dropped"]
+    ).drop("rn")
+    if rest is not None:
+        out = out.unionByName(rest)
+    drop_cols = ["consec_failures", "holdon_until_round", "dropped"]
+    if spec.salt_buckets > 1:
+        drop_cols.append("_rn1")
     if budgets is not None:
         drop_cols.append("budget")
     return out.drop(*drop_cols)

@@ -143,11 +143,19 @@ class CrawlRun:
         return c.select("url", "host", "depth", "referer")
 
     def _with_keys(self, frontier: DataFrame) -> DataFrame:
+        # seen-shard bucket keys off the URL SIGN, not the host: the dedupe
+        # stage needs no host affinity, and sign-keyed buckets are uniform
+        # by construction — a mega-host cannot skew the probe/update
+        # shuffles (the salted-shuffle requirement, SURVEY §7.4-3; host
+        # grouping happens only in the politeness window, which admission
+        # pre-prunes two-level — politeness.admit_round)
         score = score_expr(F.col("depth"))
         return (
             frontier.withColumn("sign", urlkit.url_sign64(F.col("url")))
-            .withColumn("bucket", urlkit.host_bucket(F.col("host"),
-                                                     self.spec.n_buckets))
+            .withColumn(
+                "bucket",
+                F.pmod(F.col("sign"), F.lit(self.spec.n_buckets)).cast("int"),
+            )
             .withColumn("score", score)
             .withColumn("priority", band_base(score))
         )

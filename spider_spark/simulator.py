@@ -49,7 +49,7 @@ def canonicalize(url: str) -> str | None:
         port = parts.port
     except ValueError:
         return None  # unparseable authority (e.g. non-numeric port)
-    if port and not (
+    if port is not None and not (
         (scheme == "http" and port == 80) or (scheme == "https" and port == 443)
     ):
         hostport = f"{host}:{port}"

@@ -68,11 +68,12 @@ def _canonicalize_udf(url: pd.Series) -> pd.Series:
     has_query = query.notna() & (query != "")
     out = out.where(~has_query, out + "?" + query.fillna(""))
     # GURL-validity role (api/base.cc:59): host must be a dotted name or
-    # IPv4 literal — no spaces/garbage
+    # IPv4 literal — no spaces/garbage; ports must fit 16 bits
     host_ok = host.str.match(r"^[a-z0-9_-]+(\.[a-z0-9_-]+)*$", na=False)
+    port_bad = pd.to_numeric(port, errors="coerce") > 65535
     bad = host.isna() | (host == "") | ~host_ok | scheme.isna() | (
         out.str.len() > MAX_URL_LEN
-    )
+    ) | port_bad.fillna(False)
     return out.mask(bad)
 
 

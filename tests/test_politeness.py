@@ -126,6 +126,29 @@ def test_update_host_state(spark):
     assert d2["f.com"]["dropped"]
 
 
+def test_salted_admission_equals_unsalted(spark):
+    """Two-level salted top-k (skew guard) must admit exactly the same
+    set as the single-window path — differential over a mega-host."""
+    rows = [
+        ("http://mega.com/%04d" % i, "mega.com", 30 + (i % 3) * 10,
+         float(1000 - i)) for i in range(500)
+    ] + [("http://tiny.com/%d" % i, "tiny.com", 30, 10.0) for i in range(3)]
+    cand = spark.createDataFrame(
+        rows, "url string, host string, priority int, score double"
+    )
+    state = pol.init_host_state(spark)
+    spec_salted = pol.PolitenessSpec(qps=2.0, round_seconds=5.0,
+                                     salt_buckets=16)
+    spec_plain = pol.PolitenessSpec(qps=2.0, round_seconds=5.0,
+                                    salt_buckets=1)
+    a = {r["url"] for r in pol.admit_round(cand, state, None, spec_salted, 0)
+         .filter(F.col("admitted")).collect()}
+    b = {r["url"] for r in pol.admit_round(cand, state, None, spec_plain, 0)
+         .filter(F.col("admitted")).collect()}
+    assert a == b
+    assert len(a) == 10 + 3  # budget 10 for mega + all 3 tiny
+
+
 def test_per_host_budget_dim(spark):
     spec = pol.PolitenessSpec(qps=1.0, round_seconds=1.0)  # default 1
     cand = spark.createDataFrame(

@@ -1,0 +1,111 @@
+"""Property-based differential tests (hypothesis): the Spark pandas-UDF
+canonicalizer and the urllib-based simulator twin must agree on arbitrary
+inputs — the rule book is the spec, the twins are independent impls."""
+
+from __future__ import annotations
+
+import string
+
+from hypothesis import given, settings, strategies as st
+
+from spider_spark.simulator import canonicalize as py_canon, rule_filter
+
+# url-ish alphabet: hosts, paths, schemes, noise
+_host_label = st.text(
+    alphabet=string.ascii_letters + string.digits + "-_", min_size=1,
+    max_size=8,
+)
+_hosts = st.lists(_host_label, min_size=1, max_size=4).map(".".join)
+_paths = st.text(
+    alphabet=string.ascii_letters + string.digits + "/._-%#?&=",
+    max_size=30,
+)
+_schemes = st.sampled_from(["http://", "https://", "HTTP://", "", "ftp://"])
+_noise = st.text(max_size=20)
+
+
+@st.composite
+def urlish(draw):
+    return (
+        draw(st.sampled_from(["", " ", "%20", "  "]))
+        + draw(_schemes)
+        + draw(_hosts)
+        + draw(st.sampled_from(["", ":80", ":443", ":8080", ":0"]))
+        + draw(st.sampled_from(["", "/"]))
+        + draw(_paths)
+    )
+
+
+# Spark session startup is expensive — collect a batch of cases per class
+# invocation instead of one UDF call per example.
+
+def _spark_canon_batch(spark, urls: list[str]) -> list[str | None]:
+    from pyspark.sql import functions as F
+
+    from spider_spark import urlkit
+
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    rows = df.select(
+        F.col("url"), urlkit.canonicalize_url(F.col("url")).alias("c")
+    ).collect()
+    by_input: dict[str, str | None] = {}
+    for r in rows:
+        by_input.setdefault(r["url"], r["c"])
+    return [by_input[u] for u in urls]
+
+
+def test_canonicalize_twins_agree_fuzz(spark):
+    cases: list[str] = []
+
+    @settings(max_examples=300, deadline=None)
+    @given(urlish())
+    def collect(u):
+        cases.append(u)
+
+    collect()
+    got = _spark_canon_batch(spark, cases)
+    for u, g in zip(cases, got):
+        assert g == py_canon(u), f"twin mismatch on {u!r}: spark={g!r} py={py_canon(u)!r}"
+
+
+def test_canonicalize_idempotent_fuzz(spark):
+    """canon(canon(x)) == canon(x) — canonical form is a fixpoint."""
+    cases: list[str] = []
+
+    @settings(max_examples=200, deadline=None)
+    @given(urlish())
+    def collect(u):
+        cases.append(u)
+
+    collect()
+    first = _spark_canon_batch(spark, cases)
+    ok = [c for c in first if c is not None]
+    second = _spark_canon_batch(spark, ok)
+    for c, c2 in zip(ok, second):
+        assert c2 == c, f"not a fixpoint: {c!r} -> {c2!r}"
+
+
+def test_rule_filter_twins_agree_fuzz(spark):
+    from pyspark.sql import functions as F
+
+    from spider_spark import urlkit
+
+    cases: list[str] = []
+
+    @settings(max_examples=200, deadline=None)
+    @given(urlish())
+    def collect(u):
+        c = py_canon(u)
+        if c is not None:
+            cases.append(c)
+
+    collect()
+    if not cases:
+        return
+    df = spark.createDataFrame([(u,) for u in cases], "url string")
+    kept = {
+        r["url"]
+        for r in df.filter(urlkit.url_rule_filter(F.col("url"))).collect()
+    }
+    for u in set(cases):
+        assert (u in kept) == rule_filter(u), f"rule twin mismatch on {u!r}"
