@@ -63,6 +63,9 @@ class RoundSpec:
     max_rounds: int = 50
     politeness: pol.PolitenessSpec = field(default_factory=pol.PolitenessSpec)
     bloom: BloomSpec = field(default_factory=BloomSpec)
+    seen_mode: str = "bloom"     # "bloom" (compact, FP-confirm join) or
+    # "sign" (exact 8B/url shards — the reference's Redis CalcUrlSign
+    # semantics, no confirm join needed)
     confirm_hits: bool = True    # verify Bloom hits with an exact join
     collect_ordering: bool = True  # driver-side ordering witness (tests);
     # bench runs disable it — the witness collect is test instrumentation,
@@ -98,7 +101,12 @@ class CrawlRun:
         self.ckpt = ckpt_dir
         self.robots = robots
         self.budgets = budgets
-        self.bloom = BloomShards(spec.bloom)
+        if spec.seen_mode == "sign":
+            from .seen import SignShards
+
+            self.bloom = SignShards()
+        else:
+            self.bloom = BloomShards(spec.bloom)
         # Pre-extract the adjacency once: (doc_id, outlink). At scale this
         # is the Iceberg documents table scanned with column pruning (spans
         # only); the extraction is JVM-side higher-order functions. Persist
@@ -241,7 +249,8 @@ class CrawlRun:
         # 1. seen-probe: Bloom shards; hits confirmed exactly against the
         #    linkbase (so FPs cost one small join, never correctness).
         probed = self.bloom.probe(frontier, seen_state)
-        if self.spec.confirm_hits and linkbase is not None:
+        confirm = self.spec.confirm_hits and self.spec.seen_mode != "sign"
+        if confirm and linkbase is not None:
             hits = probed.filter(F.col("maybe_seen"))
             fps = hits.join(linkbase.select("url"), "url", "left_anti")
             unseen = probed.filter(~F.col("maybe_seen")).unionByName(fps)

@@ -204,6 +204,99 @@ class BloomShards:
 
 
 # --------------------------------------------------------------------------
+# Sign shards (exact, 8 B/url)
+# --------------------------------------------------------------------------
+
+
+class SignShards:
+    """Exact sign-keyed seen set: per bucket a SORTED numpy uint64 array of
+    url signs. This is the Spark rendering of the reference's Redis store
+    keyed by ``base::CalcUrlSign(url)``
+    (crawler/crawler2/general_crawler/url.proto:18-27, scheduler.cc:289-314)
+    — the 64-bit sign IS the identity there too, so hash-collision
+    semantics match the reference exactly and no false-positive confirm
+    join is needed (unlike Bloom).
+
+    Cost: 8 B/url — 80 GB for 10^10 URLs, ~1.2 MB/bucket over 65k
+    sign-keyed buckets, each co-resident with its bucket's candidates.
+    Probe = np.isin against the sorted array (vectorized binary search);
+    update = sorted merge. Deletion is supported (recrawl TTL) by plain
+    set difference.
+    """
+
+    def probe(self, candidates: DataFrame, state: DataFrame) -> DataFrame:
+        out_schema = T.StructType(
+            candidates.schema.fields
+            + [T.StructField("maybe_seen", T.BooleanType(), False)]
+        )
+
+        def fn(_key, cand_pdf: pd.DataFrame, state_pdf: pd.DataFrame):
+            if not len(cand_pdf):
+                return cand_pdf.assign(maybe_seen=pd.Series([], dtype=bool))
+            if len(state_pdf) and state_pdf["state"].iloc[0] is not None:
+                seen = np.frombuffer(
+                    bytes(state_pdf["state"].iloc[0]), dtype=np.uint64
+                )
+            else:
+                seen = np.zeros(0, dtype=np.uint64)
+            cand_pdf = cand_pdf.copy()
+            signs = cand_pdf["sign"].to_numpy().astype(np.uint64)
+            idx = np.searchsorted(seen, signs)
+            idx = np.clip(idx, 0, max(len(seen) - 1, 0))
+            cand_pdf["maybe_seen"] = (
+                seen[idx] == signs if len(seen)
+                else np.zeros(len(signs), dtype=bool)
+            )
+            return cand_pdf
+
+        return (
+            candidates.groupBy("bucket")
+            .cogroup(state.groupBy("bucket"))
+            .applyInPandas(fn, schema=out_schema)
+        )
+
+    def update(self, admitted: DataFrame, state: DataFrame,
+               deletes: DataFrame | None = None) -> DataFrame:
+        spark = admitted.sparkSession
+        dels = (
+            deletes
+            if deletes is not None
+            else spark.createDataFrame([], "bucket int, sign long")
+        ).select("bucket", "sign", F.lit(True).alias("is_delete"))
+        adds = admitted.select("bucket", "sign",
+                               F.lit(False).alias("is_delete"))
+        combined = adds.unionByName(dels)
+
+        def fn(key, pdf: pd.DataFrame, state_pdf: pd.DataFrame):
+            if len(state_pdf) and state_pdf["state"].iloc[0] is not None:
+                seen = np.frombuffer(
+                    bytes(state_pdf["state"].iloc[0]), dtype=np.uint64
+                )
+            else:
+                seen = np.zeros(0, dtype=np.uint64)
+            add = pdf.loc[~pdf["is_delete"], "sign"].to_numpy().astype(np.uint64)
+            merged = np.union1d(seen, add)
+            d = pdf.loc[pdf["is_delete"], "sign"].to_numpy().astype(np.uint64)
+            if len(d):
+                merged = np.setdiff1d(merged, d, assume_unique=False)
+            return pd.DataFrame(
+                {"bucket": [int(key[0])], "state": [merged.tobytes()]}
+            )
+
+        return (
+            combined.groupBy("bucket")
+            .cogroup(state.groupBy("bucket"))
+            .applyInPandas(fn, schema=STATE_SCHEMA)
+        )
+
+    def init_state(self, spark: SparkSession, n_buckets: int) -> DataFrame:
+        return spark.range(n_buckets).select(
+            F.col("id").cast("int").alias("bucket"),
+            F.lit(None).cast("binary").alias("state"),
+        )
+
+
+# --------------------------------------------------------------------------
 # Cuckoo shards (deletable)
 # --------------------------------------------------------------------------
 

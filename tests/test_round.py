@@ -96,6 +96,24 @@ def test_resume_from_checkpoint(spark, world, tmp_path_factory):
     assert run2.seen_urls() == ref["seen"]
 
 
+def test_sign_mode_matches_simulator(spark, world, sim_result,
+                                     tmp_path_factory):
+    """seen_mode='sign' (exact sign shards, no confirm join) must produce
+    the same rounds + seen set as the Bloom path and the simulator."""
+    docs, robots, _, _ = world
+    ck = str(tmp_path_factory.mktemp("ck_sign"))
+    spec = RoundSpec(n_buckets=8, max_depth=3, max_rounds=10,
+                     politeness=PSPEC, seen_mode="sign")
+    run = CrawlRun(spark, docs, robots, ck, spec)
+    seeds_df = spark.createDataFrame([(u,) for u in SEEDS], "url string")
+    res = run.run(seeds_df)
+    rounds = [r["admitted_urls"] for r in res]
+    while rounds and not rounds[-1]:
+        rounds.pop()
+    assert rounds == sim_result["rounds"]
+    assert run.seen_urls() == sim_result["seen"]
+
+
 def test_span_invariant_through_pipeline(spark, world):
     """Docs fetched by the engine keep span sequences byte-identical to the
     source table (the per-row invariant)."""

@@ -12,6 +12,7 @@ from spider_spark.seen import (
     BloomSpec,
     CuckooShards,
     CuckooSpec,
+    SignShards,
     exact_unseen,
 )
 
@@ -104,6 +105,36 @@ def test_cuckoo_delete_readmits(spark):
     state2.count()
     out = shards.probe(dels, state2)
     assert out.filter(F.col("maybe_seen")).count() == 0
+    kept = rows.join(dels.select("url"), "url", "left_anti")
+    assert shards.probe(kept, state2).filter(~F.col("maybe_seen")).count() == 0
+
+
+def test_sign_shards_exact(spark):
+    """SignShards is EXACT: zero false positives AND zero false negatives
+    (the Redis CalcUrlSign semantics, scheduler.cc:289-314)."""
+    shards = SignShards()
+    seen = _with_keys(_urls(spark, 0, 1500)).cache()
+    state = shards.update(seen, shards.init_state(spark, N_BUCKETS)).cache()
+    state.count()
+    # no false negatives
+    assert shards.probe(seen, state).filter(~F.col("maybe_seen")).count() == 0
+    # no false positives
+    fresh = _with_keys(_urls(spark, 50_000, 52_000, tag="w"))
+    assert shards.probe(fresh, state).filter(F.col("maybe_seen")).count() == 0
+
+
+def test_sign_shards_delete(spark):
+    shards = SignShards()
+    rows = _with_keys(_urls(spark, 0, 400)).cache()
+    state = shards.update(rows, shards.init_state(spark, N_BUCKETS)).cache()
+    state.count()
+    dels = rows.limit(120).cache()
+    state2 = shards.update(
+        rows.sparkSession.createDataFrame([], "bucket int, sign long"),
+        state, deletes=dels.select("bucket", "sign"),
+    ).cache()
+    state2.count()
+    assert shards.probe(dels, state2).filter(F.col("maybe_seen")).count() == 0
     kept = rows.join(dels.select("url"), "url", "left_anti")
     assert shards.probe(kept, state2).filter(~F.col("maybe_seen")).count() == 0
 
