@@ -129,6 +129,45 @@ def unwrap_redirect_target(url: Column) -> Column:
     )
 
 
+# -- site paginator extension point (E4) ------------------------------------
+
+
+def paginate_list_urls(df: DataFrame, url_col: str = "url",
+                       n_next: int = 3, param: str = "page") -> DataFrame:
+    """E4 (extractor.cc:418-551): the reference hard-codes per-site
+    next-list-page builders (taobao/tmall/jd/suning); we keep ONE generic
+    representative to prove the extension point — for list URLs carrying a
+    ``page=K`` query param, emit the next ``n_next`` page URLs. Pure
+    column math (sequence → transform → explode)."""
+    url = F.col(url_col)
+    cur = F.regexp_extract(url, rf"[?&]{param}=(\d+)", 1)
+    has = cur != ""
+    nxt = F.transform(
+        F.sequence(F.lit(1), F.lit(n_next)),
+        lambda i: F.regexp_replace(
+            url, rf"([?&]){param}=\d+",
+            F.concat(F.lit("$1"), F.lit(f"{param}="),
+                     (cur.cast("int") + i).cast("string")),
+        ),
+    )
+    return df.filter(has).select(
+        url.alias("list_url"), F.explode(nxt).alias("next_url")
+    )
+
+
+# -- bad-page verify (D4) ----------------------------------------------------
+
+
+def bad_page_filter(docs: DataFrame, bad_hashes: DataFrame,
+                    sign_col: str = "simhash") -> DataFrame:
+    """D4 (html_simhash.h:16-19,86-93): drop pages whose signature matches
+    the known-bad dictionary — broadcast left_anti join."""
+    return docs.join(
+        F.broadcast(bad_hashes.select(F.col("bad_sign").alias(sign_col))),
+        sign_col, "left_anti",
+    )
+
+
 # -- DNS / ip attach / proxy / load (L5, J1, L3, A4) ------------------------
 
 
