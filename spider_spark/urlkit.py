@@ -57,11 +57,14 @@ def _canonicalize_udf(url: pd.Series) -> pd.Series:
     path, query = parts[2], parts[3]
     host = hostport.str.replace(r":\d+$", "", regex=True).str.lower()
     port = hostport.str.extract(r":(\d+)$")[0]
-    default_port = ((scheme == "http") & (port == "80")) | (
-        (scheme == "https") & (port == "443")
+    port_num = pd.to_numeric(port, errors="coerce")
+    default_port = ((scheme == "http") & (port_num == 80)) | (
+        (scheme == "https") & (port_num == 443)
     )
     keep_port = port.notna() & ~default_port
-    hp = host.where(~keep_port, host + ":" + port.fillna(""))
+    # normalized numeric form (":00" → ":0", ":0080" → ":80")
+    port_str = port_num.astype("Int64").astype("string").fillna("")
+    hp = host.where(~keep_port, host + ":" + port_str)
     path = path.fillna("")
     path = path.where(path != "", "/")
     out = scheme + "://" + hp + path
@@ -70,10 +73,10 @@ def _canonicalize_udf(url: pd.Series) -> pd.Series:
     # GURL-validity role (api/base.cc:59): host must be a dotted name or
     # IPv4 literal — no spaces/garbage; ports must fit 16 bits
     host_ok = host.str.match(r"^[a-z0-9_-]+(\.[a-z0-9_-]+)*$", na=False)
-    port_bad = pd.to_numeric(port, errors="coerce") > 65535
+    port_bad = (port_num > 65535).fillna(False)
     bad = host.isna() | (host == "") | ~host_ok | scheme.isna() | (
         out.str.len() > MAX_URL_LEN
-    ) | port_bad.fillna(False)
+    ) | port_bad
     return out.mask(bad)
 
 
