@@ -20,6 +20,16 @@ politeness   robots gating, per-host QPS round assignment, skew salting
 round        the micro-batch crawl round: extract→dedupe→score→schedule→
              fetch(simulated)→merge, checkpoint/resume with lineage
 logs         pv/search/click log pipelines feeding the scorer
+selector     multi-source frontier union, VIP/page-N/category gates, URL
+             transforms, DNS/ip attach, proxy routing, updater, evaluation
+streaming    Structured-Streaming crawl loop (foreachBatch rounds, session
+             windows, recrawl-TTL gate)
+sinks        partitioned fetch-task writer/reader (S4 OutputWithFilePrefix)
+simhash      64-bit simhash + Manku block-permutation near-dup index
+dedup        exact / minhash-LSH / n-gram-Jaccard / embedding dedup family
+similarity   cosine kernels, brute-force + IVF-lite ANN, hyperplane LSH
+textstats    language ID, quality scoring, token counting, fingerprints
+multimodal   binary media columns + mapInPandas feature plumbing (stub codecs)
 simulator    pure-Python reference simulator (correctness oracle for
              crawl ordering + URL-seen set under a seeded politeness budget)
 """
