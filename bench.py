@@ -29,7 +29,10 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+# fallback 16, not 32: every python-UDF stage pairs a JVM task thread with
+# an Arrow worker, and this box measures faster at local[16] than local[32]
+# (BENCH.md §3); an explicit SPARK_GRAFT_CPUS is always honored
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "16"))
 
 HEADLINE = [
     "pricing_summary",
