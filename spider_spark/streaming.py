@@ -102,6 +102,55 @@ def windowed_host_counts(stream: DataFrame, window: str = "10 seconds",
     )
 
 
+def stateful_host_budget_stream(stream: DataFrame, total_cap: int,
+                                host_col: str = "host",
+                                url_col: str = "url") -> DataFrame:
+    """Custom stateful streaming operator via ``applyInPandasWithState``:
+    per-host admission with a CUMULATIVE cap carried across micro-batches
+    (the LoadController's cross-round state, load_controller.cc:204-242,
+    as true streaming state instead of the batch path's host_state table).
+
+    Per host, admits URLs in deterministic (url) order until the host has
+    admitted ``total_cap`` URLs over the stream's lifetime; the admitted
+    count is the GroupState. Emits (host, url, n_admitted_so_far).
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = T.StructType([
+        T.StructField(host_col, T.StringType(), False),
+        T.StructField(url_col, T.StringType(), False),
+        T.StructField("n_admitted_so_far", T.IntegerType(), False),
+    ])
+    state_schema = T.StructType([
+        T.StructField("admitted", T.IntegerType(), False),
+    ])
+
+    def fn(key, pdf_iter, state):
+        host = key[0]
+        admitted = state.get[0] if state.exists else 0
+        rows = {host_col: [], url_col: [], "n_admitted_so_far": []}
+        for pdf in pdf_iter:
+            for u in sorted(pdf[url_col]):
+                if admitted >= total_cap:
+                    break
+                admitted += 1
+                rows[host_col].append(host)
+                rows[url_col].append(u)
+                rows["n_admitted_so_far"].append(admitted)
+        state.update((admitted,))
+        import pandas as pd
+
+        yield pd.DataFrame(rows)
+
+    return (
+        stream.groupBy(host_col)
+        .applyInPandasWithState(
+            fn, out_schema, state_schema, "append",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def ttl_gate(candidates: DataFrame, url_status: DataFrame,
              now_ts: int, ttl_s: int = 86_400) -> DataFrame:
     """Recrawl-TTL seen-gate (scheduler.cc:289-314, 381-393): a URL whose

@@ -73,6 +73,44 @@ def test_sessionized_pv_stream(spark, tmp_path):
     assert got == [("u1", 1), ("u1", 2), ("u2", 1)]
 
 
+def test_stateful_host_budget_stream(spark, tmp_path):
+    """applyInPandasWithState politeness: cumulative per-host cap carried
+    across micro-batches (cross-round LoadController state)."""
+    src = str(tmp_path / "frontier")
+    os.makedirs(src)
+    # batch 1: two urls on h1, one on h2
+    spark.createDataFrame(
+        [("h1", "http://h1/a"), ("h1", "http://h1/b"), ("h2", "http://h2/a")],
+        "host string, url string",
+    ).coalesce(1).write.mode("append").parquet(src)
+    # batch 2: three more urls on h1 — only one fits under cap=3
+    spark.createDataFrame(
+        [("h1", "http://h1/c"), ("h1", "http://h1/d"), ("h1", "http://h1/e")],
+        "host string, url string",
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema("host string, url string")
+        .option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    admitted = st.stateful_host_budget_stream(stream, total_cap=3)
+    q = (
+        admitted.writeStream.format("memory").queryName("adm")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql(
+        "select host, url, n_admitted_so_far from adm order by host, url"
+    ).collect()
+    got = [(r["host"], r["url"], r["n_admitted_so_far"]) for r in rows]
+    h1 = [g for g in got if g[0] == "h1"]
+    h2 = [g for g in got if g[0] == "h2"]
+    # h1 admitted exactly 3 across the stream, cumulative counter carried
+    assert [g[2] for g in h1] == [1, 2, 3]
+    assert len(h1) == 3
+    assert h2 == [("h2", "http://h2/a", 1)]
+
+
 def test_ttl_gate(spark):
     cand = spark.createDataFrame(
         [("http://a/",), ("http://b/",), ("http://c/",)], "url string"
