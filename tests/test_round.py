@@ -114,6 +114,39 @@ def test_sign_mode_matches_simulator(spark, world, sim_result,
     assert run.seen_urls() == sim_result["seen"]
 
 
+def test_failures_and_budgets_match_simulator(spark, world,
+                                              tmp_path_factory):
+    """E2E with fetch FAILURES (seeds pointing at nonexistent pages →
+    consec-failure runs → holdon) and a per-host budget dim — the
+    update_host_state path exercised end-to-end against the simulator."""
+    docs, robots, adj, rob = world
+    # hosts 1 and 2 get seeds for pages that don't exist → failures
+    bad_seeds = [f"http://host1.example.com/p/{900 + i}" for i in range(4)]
+    bad_seeds += [f"http://host2.example.com/p/{950 + i}" for i in range(2)]
+    seeds = SEEDS + bad_seeds
+    pspec = PolitenessSpec(qps=1.0, round_seconds=2.0,  # budget 2
+                           holdon_failures=2, holdon_rounds=2)
+    budgets_rows = [("host1.example.com", 4), ("host3.example.com", 1)]
+    budgets = spark.createDataFrame(budgets_rows, "host string, budget int")
+    rspec = RoundSpec(n_buckets=8, max_depth=2, max_rounds=12,
+                      politeness=pspec)
+    ck = str(tmp_path_factory.mktemp("ck_fail"))
+    run = CrawlRun(spark, docs, robots, ck, rspec, budgets=budgets)
+    res = run.run(spark.createDataFrame([(u,) for u in seeds], "url string"))
+    rounds = [r["admitted_urls"] for r in res]
+    while rounds and not rounds[-1]:
+        rounds.pop()
+
+    simout = sim.simulate(
+        seeds, adj, rob,
+        sim.SimSpec(default_budget=pspec.default_budget,
+                    budgets=dict(budgets_rows), max_depth=2, max_rounds=12,
+                    holdon_failures=2, holdon_rounds=2),
+    )
+    assert rounds == simout["rounds"]
+    assert run.seen_urls() == simout["seen"]
+
+
 def test_span_invariant_through_pipeline(spark, world):
     """Docs fetched by the engine keep span sequences byte-identical to the
     source table (the per-row invariant)."""
