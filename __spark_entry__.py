@@ -501,6 +501,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out = sel.attach_ip(urls, dns)
         return out.groupBy("host", "ip").agg(F.count("*").alias("n"))
 
+    def crawl_rounds_e2e(spark, sf):
+        """The flagship pipeline end-to-end (rows-only; its correctness
+        oracle is the pure-Python simulator in tests/test_round.py): 3
+        politeness-gated rounds over a tiny deterministic web → linkbase.
+        """
+        import tempfile
+
+        _ensure_shipped(spark)
+        from spider_spark.politeness import PolitenessSpec, synthetic_robots
+        from spider_spark.round import CrawlRun, RoundSpec
+        from spider_spark.spans import WebSpec, generate_documents
+
+        spec = WebSpec(n_hosts=10, pages_per_host=4, skew_hosts=2,
+                       skew_pages=16, links_per_page=3)
+        docs = generate_documents(spark, spec)
+        robots = synthetic_robots(spark, spec.n_hosts)
+        run = CrawlRun(
+            spark, docs, robots, tempfile.mkdtemp(prefix="q_crawl_"),
+            RoundSpec(n_buckets=8, max_depth=2, max_rounds=3,
+                      politeness=PolitenessSpec(qps=1.0, round_seconds=3.0),
+                      collect_ordering=False),
+        )
+        seeds = spark.createDataFrame(
+            [(spec.url_of(1),), (spec.url_of(2),), (spec.url_of(7),)],
+            "url string",
+        )
+        run.run(seeds)
+        r = run.last_committed_round()
+        return (
+            run._linkbase(r)
+            .select("url", "host", "depth", "success")
+            .orderBy("url")
+        )
+
     def ann_ivf(spark, sf):
         """IVF-style ANN top-10 (approximate twin of knn_cosine)."""
         e = _t(spark, sf, "embeddings").select(
@@ -549,6 +583,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_transforms": url_transforms,
         "eval_success": eval_success,
         "ip_attach": ip_attach,
+        "crawl_rounds_e2e": crawl_rounds_e2e,
     }
 
 
