@@ -85,10 +85,12 @@ def crawl_round_bench(spark, size: str,
             materialize_web(spark, size, docs_path)
         docs = spark.read.parquet(docs_path)
         robots = synthetic_robots(spark, n_hosts)
+        fused = os.environ.get("SPARK_GRAFT_FUSED", "0") == "1"
         run = CrawlRun(
             spark, docs, robots, work + "/ck",
             RoundSpec(n_buckets=64, max_depth=3, max_rounds=3,
                       politeness=PolitenessSpec(qps=10.0, round_seconds=5.0),
+                      seen_mode="sign" if fused else "bloom", fused=fused,
                       collect_ordering=False),
         )
         # deterministic host-spread seed sample (limit() on a parquet read

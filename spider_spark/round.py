@@ -66,6 +66,9 @@ class RoundSpec:
     seen_mode: str = "bloom"     # "bloom" (compact, FP-confirm join) or
     # "sign" (exact 8B/url shards — the reference's Redis CalcUrlSign
     # semantics, no confirm join needed)
+    fused: bool = False          # sign mode only: probe+admission in one
+    # cogrouped Arrow stage (fused.py) — saves 2 shuffles + 1 python
+    # stage per round; buckets become host-keyed
     confirm_hits: bool = True    # verify Bloom hits with an exact join
     collect_ordering: bool = True  # driver-side ordering witness (tests);
     # bench runs disable it — the witness collect is test instrumentation,
@@ -158,12 +161,18 @@ class CrawlRun:
         # grouping happens only in the politeness window, which admission
         # pre-prunes two-level — politeness.admit_round)
         score = score_expr(F.col("depth"))
+        if self.spec.fused:
+            # fused mode groups probe+admission per bucket, so a host's
+            # rows must share a bucket (see fused.py tradeoff note)
+            bucket = urlkit.host_bucket(F.col("host"), self.spec.n_buckets)
+        else:
+            # sign-keyed buckets are uniform — skew-proof dedupe shuffle
+            bucket = F.pmod(
+                urlkit.url_sign64(F.col("url")), F.lit(self.spec.n_buckets)
+            ).cast("int")
         return (
             frontier.withColumn("sign", urlkit.url_sign64(F.col("url")))
-            .withColumn(
-                "bucket",
-                F.pmod(F.col("sign"), F.lit(self.spec.n_buckets)).cast("int"),
-            )
+            .withColumn("bucket", bucket)
             .withColumn("score", score)
             .withColumn("priority", band_base(score))
         )
@@ -246,24 +255,36 @@ class CrawlRun:
         host_state = self._read(r, "host_state")
         linkbase = self._linkbase(r - 1) if r > 0 else None
 
-        # 1. seen-probe: Bloom shards; hits confirmed exactly against the
-        #    linkbase (so FPs cost one small join, never correctness).
-        probed = self.bloom.probe(frontier, seen_state)
-        confirm = self.spec.confirm_hits and self.spec.seen_mode != "sign"
-        if confirm and linkbase is not None:
-            hits = probed.filter(F.col("maybe_seen"))
-            fps = hits.join(linkbase.select("url"), "url", "left_anti")
-            unseen = probed.filter(~F.col("maybe_seen")).unionByName(fps)
-        else:
-            unseen = probed.filter(~F.col("maybe_seen"))
-        unseen = unseen.drop("maybe_seen")
+        # 1+2. seen-probe then politeness admission. The admission split
+        #    feeds four consumers (fetch, carryover, seen-update, metrics)
+        #    — cache it so the probe subtree runs once per round.
+        if self.spec.fused:
+            if self.spec.seen_mode != "sign":
+                raise ValueError("fused mode requires seen_mode='sign'")
+            from .fused import fused_probe_admit
 
-        # 2. politeness admission. The admission split feeds four consumers
-        #    (fetch, carryover, seen-update, metrics) — cache it so the
-        #    probe subtree (python workers + shuffles) runs once per round.
-        adm = pol.admit_round(
-            unseen, host_state, self.budgets, self.spec.politeness, r
-        ).cache()
+            flagged = fused_probe_admit(
+                frontier, seen_state, host_state, self.budgets,
+                self.spec.politeness.default_budget, r,
+            )
+            adm = flagged.filter(~F.col("maybe_seen")).drop(
+                "maybe_seen"
+            ).cache()
+        else:
+            # seen-probe: Bloom shards; hits confirmed exactly against the
+            # linkbase (so FPs cost one small join, never correctness)
+            probed = self.bloom.probe(frontier, seen_state)
+            confirm = self.spec.confirm_hits and self.spec.seen_mode != "sign"
+            if confirm and linkbase is not None:
+                hits = probed.filter(F.col("maybe_seen"))
+                fps = hits.join(linkbase.select("url"), "url", "left_anti")
+                unseen = probed.filter(~F.col("maybe_seen")).unionByName(fps)
+            else:
+                unseen = probed.filter(~F.col("maybe_seen"))
+            unseen = unseen.drop("maybe_seen")
+            adm = pol.admit_round(
+                unseen, host_state, self.budgets, self.spec.politeness, r
+            ).cache()
         admitted = adm.filter(F.col("admitted")).drop("admitted")
         carry = adm.filter(~F.col("admitted")).drop("admitted")
 

@@ -147,6 +147,24 @@ def test_failures_and_budgets_match_simulator(spark, world,
     assert run.seen_urls() == simout["seen"]
 
 
+def test_fused_mode_matches_simulator(spark, world, sim_result,
+                                      tmp_path_factory):
+    """Fused probe+admission (one cogrouped stage) must reproduce the
+    simulator's rounds + seen set exactly — differential vs the window
+    path via the shared sim oracle."""
+    docs, robots, _, _ = world
+    ck = str(tmp_path_factory.mktemp("ck_fused"))
+    spec = RoundSpec(n_buckets=8, max_depth=3, max_rounds=10,
+                     politeness=PSPEC, seen_mode="sign", fused=True)
+    run = CrawlRun(spark, docs, robots, ck, spec)
+    res = run.run(spark.createDataFrame([(u,) for u in SEEDS], "url string"))
+    rounds = [r["admitted_urls"] for r in res]
+    while rounds and not rounds[-1]:
+        rounds.pop()
+    assert rounds == sim_result["rounds"]
+    assert run.seen_urls() == sim_result["seen"]
+
+
 def test_span_invariant_through_pipeline(spark, world):
     """Docs fetched by the engine keep span sequences byte-identical to the
     source table (the per-row invariant)."""
