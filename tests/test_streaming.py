@@ -34,7 +34,7 @@ def test_frontier_stream_foreachbatch(spark, tmp_path):
         st.frontier_stream(spark, delta_dir, max_files_per_trigger=1),
         process, ck,
     )
-    q.awaitTermination(60)
+    q.awaitTermination(120)
     urls = sorted(u for _, batch in got for u in batch)
     assert urls == ["http://a.com/1", "http://b.com/2"]
 
@@ -44,7 +44,7 @@ def test_frontier_stream_foreachbatch(spark, tmp_path):
         st.frontier_stream(spark, delta_dir, max_files_per_trigger=1),
         lambda df, bid: got2.append(df.count()), ck,
     )
-    q2.awaitTermination(60)
+    q2.awaitTermination(120)
     assert sum(got2) == 0
 
 
@@ -67,7 +67,7 @@ def test_sessionized_pv_stream(spark, tmp_path):
         sessions.writeStream.format("memory").queryName("sess")
         .outputMode("complete").trigger(availableNow=True).start()
     )
-    q.awaitTermination(60)
+    q.awaitTermination(120)
     out = spark.sql("select uid, n_hits from sess order by uid, n_hits").collect()
     got = [(r["uid"], r["n_hits"]) for r in out]
     assert got == [("u1", 1), ("u1", 2), ("u2", 1)]
