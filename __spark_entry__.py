@@ -116,7 +116,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return (
             agg.filter((F.col("ok") == 0) & (F.col("n_err") < 3))
-            .select("user_id", (F.col("n_err") + 1).alias("try_times"))
+            .select("user_id",
+                    (F.col("n_err") + 1).cast("long").alias("try_times"))
         )
 
     # -- joins (SURVEY §2.4) ------------------------------------------------
@@ -184,7 +185,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         s = logs.sessionize(ev, "user_id", "ts_us", ref_col=None,
                             no_ref_gap=300_000_000)
         return s.groupBy("user_id").agg(
-            (F.max("session_id") + 1).alias("n_sessions"),
+            (F.max("session_id") + 1).cast("long").alias("n_sessions"),
             F.count("*").alias("n_events"),
         )
 
@@ -653,7 +654,7 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY 1 HAVING COUNT(DISTINCT event_type) >= 4
         """,
         "status_barrier": """
-            SELECT user_id, n_err + 1 AS try_times FROM (
+            SELECT user_id, CAST(n_err + 1 AS BIGINT) AS try_times FROM (
               SELECT user_id,
                      SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_err,
                      MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS ok
@@ -694,8 +695,8 @@ def oracle_sql() -> dict[str, str]:
                        PARTITION BY user_id ORDER BY ts) AS gap
               FROM events)
             SELECT user_id,
-                   SUM(CASE WHEN gap IS NULL OR gap > 300000000 THEN 1 ELSE 0 END)
-                     AS n_sessions,
+                   CAST(SUM(CASE WHEN gap IS NULL OR gap > 300000000
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
                    COUNT(*) AS n_events
             FROM g GROUP BY 1
         """,
@@ -832,7 +833,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "token_stats": f"""
             SELECT lang, COUNT(*) AS n_docs,
-                   SUM({n_tok}) AS total_tokens,
+                   CAST(SUM({n_tok}) AS BIGINT) AS total_tokens,
                    ROUND(AVG({_quality_sql()}), 6) AS avg_quality
             FROM documents GROUP BY 1
         """,

@@ -104,7 +104,7 @@ def corpus_stats(docs: DataFrame, text_col: str = "text",
         .groupBy("grp")
         .agg(
             F.count("*").alias("n_docs"),
-            F.sum("n_tok").alias("total_tokens"),
+            F.sum("n_tok").cast("long").alias("total_tokens"),
             F.round(F.avg("q"), 6).alias("avg_quality"),
         )
     )

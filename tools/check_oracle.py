@@ -32,7 +32,11 @@ def value_hash(rows: list[tuple], cols: list[str]) -> str:
 
 
 def _norm(v):
+    if hasattr(v, "item"):  # numpy scalar → python, KEEPING int/float kind
+        v = v.item()
     if isinstance(v, float):
+        if v != v:  # NaN
+            return None
         return round(v, 9)
     return v
 
@@ -60,7 +64,8 @@ def main() -> int:
         try:
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
-            srows = [tuple(r) for r in sdf.collect()]
+            spd = sdf.toPandas()
+            srows = [tuple(r) for r in spd.itertuples(index=False, name=None)]
         except Exception as e:
             failures.append(name)
             print(f"FAIL  {name}: spark error: {e}")
@@ -72,9 +77,12 @@ def main() -> int:
                 print(f"  WARNING: empty result")
             continue
         try:
-            ddf = con.sql(oracles[name])
-            dcols = [d[0] for d in ddf.description]
-            drows = ddf.fetchall()
+            # .df() (pandas) mirrors the driver: DuckDB HUGEINT becomes
+            # float64/object here, so SUM-of-int type drift is visible
+            # locally instead of only in the driver's hash.
+            dpd = con.sql(oracles[name]).df()
+            dcols = list(dpd.columns)
+            drows = [tuple(r) for r in dpd.itertuples(index=False, name=None)]
         except Exception as e:
             failures.append(name)
             print(f"FAIL  {name}: duckdb error: {e}")
