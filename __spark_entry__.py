@@ -476,10 +476,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         c = _t(spark, sf, "customer")
         o = _t(spark, sf, "orders")
-        w = Window.orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+        # top-N via sort+limit = TakeOrderedAndProject (per-partition
+        # top-100 merged on the driver — parallel at any scale); the
+        # row_number window then ranks only the ≤100 surviving rows, never
+        # the full customer table
+        sort_cols = [F.desc("c_acctbal"), F.asc("c_custkey")]
         topn = (
-            c.withColumn("rank", F.row_number().over(w) - 1)
-            .filter(F.col("rank") < 100)
+            c.select("c_custkey", "c_acctbal")
+            .orderBy(*sort_cols).limit(100)
+            .withColumn("rank", F.row_number().over(Window.orderBy(*sort_cols)) - 1)
             .select(F.col("c_custkey").alias("url"), "rank")
         )
         crawled = o.select(F.col("o_custkey").alias("url"))

@@ -159,14 +159,21 @@ def ngram_jaccard_pairs(docs: DataFrame, candidates: DataFrame,
     verification stage after LSH (and its differential oracle in tests).
     JVM-side: shingles via sequence/transform, intersection/union via
     array functions."""
-    toks = F.split(F.col(text_col), r"\s+")
+    # trim first: split('\\s+') on leading whitespace yields an empty first
+    # token and shifted shingles — inconsistent with the minhash UDF's
+    # str.split() that generated the candidates and the DuckDB oracle
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
     n_sh = F.greatest(F.size(toks) - (shingle - 1), F.lit(1))
-    grams = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), n_sh - 1),
-            lambda i: F.concat_ws(
-                " ", F.slice(toks, i + 1, shingle)
-            ),
+    grams = F.when(
+        F.length(F.trim(F.col(text_col))) == 0, F.array().cast("array<string>")
+    ).otherwise(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), n_sh - 1),
+                lambda i: F.concat_ws(
+                    " ", F.slice(toks, i + 1, shingle)
+                ),
+            )
         )
     )
     sh = docs.select(F.col(id_col).alias("id"), grams.alias("grams"))

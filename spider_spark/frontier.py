@@ -77,6 +77,52 @@ def fetched_status_barrier(frontier: DataFrame, status: DataFrame,
 
 
 # --------------------------------------------------------------------------
+# Scale-safe global ranking: range partitioning + partition prefix sums
+# --------------------------------------------------------------------------
+
+def _range_prefixed(df: DataFrame, sort_cols: list, agg_col,
+                    n_partitions: int | None = None):
+    """Range-partition ``df`` by ``sort_cols`` and attach, per row, the
+    EXCLUSIVE prefix aggregate of ``agg_col`` over all earlier range
+    partitions (``_prefix``), plus ``_pid``.
+
+    This is the tera-sort prefix trick: an unpartitioned window would move
+    the whole table into ONE task; instead the range shuffle keeps the sort
+    parallel, per-partition totals are a tiny aggregate (one row per
+    partition, collected to the driver), and the cumulative offsets come
+    back as a broadcast join. Within-partition windows then run on
+    ``_pid`` — every task bounded by one range partition.
+
+    The df is persisted (two jobs read it: the totals collect and the
+    caller's query) so ``_pid`` assignment — which AQE could otherwise
+    re-coalesce differently per job — is computed exactly once. At crawl
+    scale this materialization is the frontier snapshot the round writes
+    anyway. Returns (persisted_df_with_pid_and_prefix, grand_total).
+    """
+    spark = df.sparkSession
+    n_part = n_partitions or spark.sparkContext.defaultParallelism * 2
+    ranged = (
+        df.repartitionByRange(n_part, *sort_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    totals = {
+        r["_pid"]: r["t"]
+        for r in ranged.groupBy("_pid").agg(agg_col.alias("t")).collect()
+    }
+    is_int = all(isinstance(v, int) for v in totals.values())
+    offs, acc = [], (0 if is_int else 0.0)
+    for pid in sorted(totals):
+        offs.append((pid, acc))
+        acc = acc + (totals[pid] or 0)
+    off_df = spark.createDataFrame(
+        offs or [(0, 0 if is_int else 0.0)],
+        f"_pid int, _prefix {'long' if is_int else 'double'}",
+    )
+    return ranged.join(F.broadcast(off_df), "_pid", "left"), acc
+
+
+# --------------------------------------------------------------------------
 # Priority banding
 # --------------------------------------------------------------------------
 
@@ -87,10 +133,19 @@ BATCH_BAND_RATIOS = (0.0, 0.05, 0.80, 0.15, 0.0)
 def batch_priority_band(frontier: DataFrame, score_col: str = "uv",
                         tiebreak: str = "url") -> DataFrame:
     """T2: total-order sort by score desc, cut at cumulative ratios into
-    priority 5..1. One range-partitioned sort (Spark's orderBy = the same
-    tera-sort algorithm the reference shells out to, sort.sh:24-31)."""
-    w = Window.orderBy(F.desc(score_col), F.asc(tiebreak))
-    pr = F.percent_rank().over(w)
+    priority 5..1 (split_by_pri.sh:23-116; the sort itself is the tera-sort
+    the reference shells out to, sort.sh:24-31).
+
+    Scale-safe plan: NO unpartitioned window. Range partition on the sort
+    key, per-partition row counts → cumulative offsets (driver-side, one
+    row per partition), global rank = offset + within-partition row_number.
+    percent-rank is exact as long as (score, tiebreak) is a total order —
+    the same uniqueness PERCENT_RANK itself needs for a stable cut.
+    """
+    sort_cols = [F.desc(score_col), F.asc(tiebreak)]
+    prefixed, n = _range_prefixed(frontier, sort_cols, F.count(F.lit(1)))
+    w = Window.partitionBy("_pid").orderBy(*sort_cols)
+    pr = (F.row_number().over(w) + F.col("_prefix") - 1) / F.lit(max(n - 1, 1))
     band = None
     acc = 0.0
     lowest_nonzero = next(
@@ -103,7 +158,7 @@ def batch_priority_band(frontier: DataFrame, score_col: str = "uv",
         cond = pr <= F.lit(acc)
         band = F.when(cond, 5 - i) if band is None else band.when(cond, 5 - i)
     band = band.otherwise(lowest_nonzero)
-    return frontier.withColumn("priority", band)
+    return prefixed.withColumn("priority", band).drop("_pid", "_prefix")
 
 
 def online_priority(score: Column, url: Column) -> Column:
@@ -153,17 +208,25 @@ def chunk_tasks(df: DataFrame, partition_col: str, order_cols: list[str],
 
 def binpack_fetchers(ip_costs: DataFrame, n_fetchers: int) -> DataFrame:
     """T4 (ip_to_fetcher_id.py:9-33): greedy bin-pack of ips to fetcher
-    nodes — sort by cost desc, cumulative fill to total/n per node. The
-    running sum is a window cumsum; deterministic tiebreak on ip."""
-    w = Window.orderBy(F.desc("cost"), F.asc("ip")).rowsBetween(
+    nodes — sort by cost desc, cumulative fill to total/n per node.
+
+    Scale-safe plan: the running sum is NOT one unpartitioned window cumsum
+    (10^7+ ips in one task at crawl scale) — range partition on the sort
+    key, per-partition cost sums → driver prefix offsets, cumsum = offset +
+    within-partition window cumsum, each task bounded by its range
+    partition. Grand total rides the same per-partition sums (no separate
+    agg job)."""
+    sort_cols = [F.desc("cost"), F.asc("ip")]
+    prefixed, total = _range_prefixed(ip_costs, sort_cols, F.sum("cost"))
+    per_node = max((total or 0.0) / n_fetchers, 1e-9)
+    w = Window.partitionBy("_pid").orderBy(*sort_cols).rowsBetween(
         Window.unboundedPreceding, 0
     )
-    total = ip_costs.agg(F.sum("cost")).collect()[0][0] or 0.0
-    per_node = max(total / n_fetchers, 1e-9)
-    return ip_costs.withColumn("cum", F.sum("cost").over(w)).withColumn(
+    cum = F.sum("cost").over(w) + F.col("_prefix")
+    return prefixed.withColumn(
         "fetcher_id",
         F.least(
-            F.floor((F.col("cum") - F.col("cost") / 2) / per_node),
+            F.floor((cum - F.col("cost") / 2) / per_node),
             F.lit(n_fetchers - 1),
         ).cast("int"),
-    ).drop("cum")
+    ).drop("_pid", "_prefix")

@@ -241,7 +241,38 @@ class CrawlRun:
             [], "url string, host string, depth int, success boolean"
         )
         self._write_linkbase_delta(empty_lb, 0)
-        self._manifest(0, {"seeded": True, "frontier": cand.count()})
+        self._manifest(
+            0,
+            {"seeded": True, "frontier": cand.count(),
+             "spec": self._spec_fingerprint()},
+        )
+
+    def _spec_fingerprint(self) -> dict:
+        """The knobs that shape the persisted state layout. Resuming with a
+        different value would probe seen_state under mismatched bucket keys
+        (every probe misses → seen URLs re-admitted) — so the round-0
+        manifest records them and resume validates."""
+        return {
+            "seen_mode": self.spec.seen_mode,
+            "fused": self.spec.fused,
+            "n_buckets": self.spec.n_buckets,
+        }
+
+    def _validate_resume_spec(self) -> None:
+        path = os.path.join(self._round_dir(0), "manifest.json")
+        if not os.path.exists(path):
+            return
+        with open(path) as f:
+            recorded = json.load(f).get("spec")
+        if recorded is None:  # pre-fingerprint checkpoint
+            return
+        current = self._spec_fingerprint()
+        if recorded != current:
+            raise ValueError(
+                f"checkpoint at {self.ckpt} was written with state-layout "
+                f"spec {recorded}, but this run uses {current}; resuming "
+                "would probe seen_state under mismatched bucket keys"
+            )
 
     def _manifest(self, r: int, extra: dict) -> None:
         path = os.path.join(self._round_dir(r), "manifest.json")
@@ -397,6 +428,7 @@ class CrawlRun:
             if last is None:
                 self.bootstrap(seeds)
             else:
+                self._validate_resume_spec()
                 start = last
         else:
             self.bootstrap(seeds)
@@ -412,7 +444,12 @@ class CrawlRun:
         return out
 
     def seen_urls(self) -> list[str]:
-        """Final URL-seen set (from the authoritative linkbase)."""
+        """Final URL-seen set (from the authoritative linkbase).
+
+        Manifest r+1 is the commit marker for round r's linkbase delta
+        (round=r), so with last committed manifest R the committed deltas
+        are rounds 0..R-1 — a crash mid-round R leaves an UNcommitted
+        round=R delta on disk that must not count as seen."""
         r = self.last_committed_round()
-        lb = self._linkbase(r)
+        lb = self._linkbase(r - 1)
         return sorted(row["url"] for row in lb.select("url").distinct().collect())

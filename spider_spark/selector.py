@@ -121,12 +121,9 @@ def unwrap_redirect_target(url: Column) -> Column:
         F.nullif(F.regexp_extract(url, r"[?&]url=([^&#]+)", 1), F.lit("")),
         F.nullif(F.regexp_extract(url, r"[?&]q=(https?[^&#]+)", 1), F.lit("")),
     )
-    from urllib.parse import unquote  # noqa: F401  (decode left to canonicalizer)
-
-    return F.coalesce(
-        F.url_decode(target),
-        url,
-    )
+    # try_url_decode: one dirty log row with malformed percent-encoding
+    # ('?url=a%2') must pass through, not fail the whole job
+    return F.coalesce(F.try_url_decode(target), target, url)
 
 
 # -- site paginator extension point (E4) ------------------------------------

@@ -55,7 +55,11 @@ def _canonicalize_udf(url: pd.Series) -> pd.Series:
     scheme = parts[0].str.lower()
     hostport = parts[1].fillna("")
     path, query = parts[2], parts[3]
-    host = hostport.str.replace(r":\d+$", "", regex=True).str.lower()
+    # authority edge cases, matching urllib.parse.urlsplit (the simulator
+    # twin): strip 'userinfo@' (up to the LAST '@' per RFC 3986), and treat
+    # a bare trailing ':' as "no port" rather than part of the host
+    hostport = hostport.str.replace(r"^.*@", "", regex=True)
+    host = hostport.str.replace(r":\d*$", "", regex=True).str.lower()
     port = hostport.str.extract(r":(\d+)$")[0]
     port_num = pd.to_numeric(port, errors="coerce")
     default_port = ((scheme == "http") & (port_num == 80)) | (

@@ -29,8 +29,9 @@ def urlish(draw):
     return (
         draw(st.sampled_from(["", " ", "%20", "  "]))
         + draw(_schemes)
+        + draw(st.sampled_from(["", "user@", "user:pw@", "@", "a@b@"]))
         + draw(_hosts)
-        + draw(st.sampled_from(["", ":80", ":443", ":8080", ":0"]))
+        + draw(st.sampled_from(["", ":80", ":443", ":8080", ":0", ":", "::80"]))
         + draw(st.sampled_from(["", "/"]))
         + draw(_paths)
     )

@@ -179,3 +179,40 @@ def test_span_invariant_through_pipeline(spark, world):
     after = span_signature(spark.read.parquet(d + "/docs"))
     assert before.exceptAll(after).count() == 0
     assert after.exceptAll(before).count() == 0
+
+
+def test_resume_spec_mismatch_fails_fast(spark, world, tmp_path_factory):
+    """Resuming a checkpoint under a different state-layout spec (seen_mode/
+    fused/n_buckets) must fail fast — mismatched bucket keys would silently
+    miss every seen probe."""
+    docs, robots, _, _ = world
+    ck = str(tmp_path_factory.mktemp("ck_mismatch"))
+    short = RoundSpec(n_buckets=8, max_depth=2, max_rounds=1, politeness=PSPEC)
+    seeds_df = spark.createDataFrame([(u,) for u in SEEDS], "url string")
+    CrawlRun(spark, docs, robots, ck, short).run(seeds_df)
+
+    other = RoundSpec(n_buckets=8, max_depth=2, max_rounds=4,
+                      politeness=PSPEC, seen_mode="sign")
+    with pytest.raises(ValueError, match="state-layout"):
+        CrawlRun(spark, docs, robots, ck, other).run(seeds_df, resume=True)
+
+
+def test_seen_urls_ignores_uncommitted_delta(spark, world, tmp_path_factory):
+    """Crash mid-round R leaves a linkbase delta round=R with no manifest
+    R+1 (the commit marker): seen_urls() must not count it."""
+    docs, robots, _, _ = world
+    ck = str(tmp_path_factory.mktemp("ck_crash"))
+    spec = RoundSpec(n_buckets=8, max_depth=2, max_rounds=2, politeness=PSPEC)
+    run = CrawlRun(spark, docs, robots, ck, spec)
+    seeds_df = spark.createDataFrame([(u,) for u in SEEDS], "url string")
+    run.run(seeds_df)
+    before = run.seen_urls()
+    # simulate the crash: an orphan delta for round R (= last manifest),
+    # whose commit marker (manifest R+1) was never written
+    r = run.last_committed_round()
+    orphan = spark.createDataFrame(
+        [("http://host9.example.com/p/999", "host9.example.com", 1, True)],
+        "url string, host string, depth int, success boolean",
+    )
+    run._write_linkbase_delta(orphan, r)
+    assert run.seen_urls() == before
