@@ -507,6 +507,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out = sel.attach_ip(urls, dns)
         return out.groupBy("host", "ip").agg(F.count("*").alias("n"))
 
+    def graph_enrich(spark, sf):
+        """J9 (extractor.cc:99-199): graph-signal blobs (uv/click/query)
+        attach onto fetched resources by url sign; failed fetches keep
+        NULLs. Oracle joins on the url literal — the sign is a pure
+        function of it."""
+        o = _t(spark, sf, "orders")
+        url = F.concat(F.lit("http://g.example.com/o/"),
+                       F.col("o_orderkey").cast("string"))
+        res = o.select(url.alias("url"),
+                       (F.col("o_orderkey") % 3 != 0).alias("success"))
+        uv = o.filter(F.col("o_orderkey") % 2 == 0).select(
+            url.alias("url"),
+            F.round("o_totalprice", 2).alias("uv_rank"),
+        )
+        ck = o.filter(F.col("o_orderkey") % 5 == 0).select(
+            url.alias("url"),
+            (F.col("o_orderkey") % 7).cast("double").alias("click_rank"),
+        )
+        q = o.filter(F.col("o_orderkey") % 4 == 0).select(
+            url.alias("url"),
+            F.concat(F.lit("q"), (F.col("o_orderkey") % 11).cast("string"))
+            .alias("query"),
+        )
+        signals = logs.build_graph_signals(uv, ck, q)
+        out = logs.enrich_graph_signals(res, signals)
+        return out.select(
+            "url", "success", "uv_rank", "click_rank",
+            F.coalesce(F.size("queries"), F.lit(0)).cast("int")
+            .alias("n_queries"),
+        )
+
+    def simhash_assign(spark, sf):
+        """D3 (mr_assign_page_simhash_mapper.cc:30-69): tf·idf-weighted
+        signatures attached onto linkbase rows by url, sharded (rows-only:
+        hash-based values)."""
+        _ensure_shipped(spark)
+        d = _t(spark, sf, "documents").withColumn(
+            "url", F.concat(F.lit("http://docs.example.com/d/"),
+                            F.col("doc_id").cast("string"))
+        )
+        lb = d.select("url", (F.col("doc_id") % 97 != 0).alias("success"))
+        docs = d.filter(F.col("doc_id") % 97 != 0).select(
+            F.col("url").alias("doc_id"), "text"
+        )
+        idf = {r["term"]: r["idf"] for r in sh.corpus_idf(docs).collect()}
+        out = sh.assign_simhash(lb, docs, idf=idf, n_shards=16)
+        return out.select("url", "simhash", "shard")
+
     def crawl_rounds_e2e(spark, sf):
         """The flagship pipeline end-to-end (rows-only; its correctness
         oracle is the pure-Python simulator in tests/test_round.py): 3
@@ -589,6 +637,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_transforms": url_transforms,
         "eval_success": eval_success,
         "ip_attach": ip_attach,
+        "graph_enrich": graph_enrich,
+        "simhash_assign": simhash_assign,
         "crawl_rounds_e2e": crawl_rounds_e2e,
     }
 
@@ -903,8 +953,36 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(AVG(ok), 6) AS success_rate
             FROM j GROUP BY 1
         """,
-        # simhash_signs, url_shards, interleaved_outlinks, ann_ivf,
-        # ip_attach: hash-based / generator-native → rows-only check +
-        # pytest differentials (tests/test_simhash.py, test_similarity.py,
-        # test_selector.py).
+        "graph_enrich": """
+            WITH res AS (
+              SELECT 'http://g.example.com/o/' || o_orderkey AS url,
+                     o_orderkey % 3 != 0 AS success
+              FROM orders),
+            uv AS (
+              SELECT 'http://g.example.com/o/' || o_orderkey AS url,
+                     ROUND(o_totalprice, 2) AS uv_rank
+              FROM orders WHERE o_orderkey % 2 = 0),
+            ck AS (
+              SELECT 'http://g.example.com/o/' || o_orderkey AS url,
+                     CAST(o_orderkey % 7 AS DOUBLE) AS click_rank
+              FROM orders WHERE o_orderkey % 5 = 0),
+            q AS (
+              SELECT 'http://g.example.com/o/' || o_orderkey AS url,
+                     COUNT(*) AS nq
+              FROM orders WHERE o_orderkey % 4 = 0 GROUP BY 1)
+            SELECT res.url, res.success,
+                   CASE WHEN res.success THEN uv.uv_rank END AS uv_rank,
+                   CASE WHEN res.success THEN ck.click_rank END AS click_rank,
+                   CAST(COALESCE(
+                     CASE WHEN res.success THEN q.nq ELSE 0 END, 0) AS INT)
+                     AS n_queries
+            FROM res
+            LEFT JOIN uv ON res.url = uv.url
+            LEFT JOIN ck ON res.url = ck.url
+            LEFT JOIN q ON res.url = q.url
+        """,
+        # simhash_signs, simhash_assign, url_shards, interleaved_outlinks,
+        # ann_ivf, ip_attach: hash-based / generator-native → rows-only
+        # check + pytest differentials (tests/test_simhash.py,
+        # test_similarity.py, test_selector.py).
     }

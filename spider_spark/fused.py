@@ -77,7 +77,13 @@ def fused_probe_admit(candidates: DataFrame, seen_state: DataFrame,
             maybe_seen = np.zeros(len(signs), dtype=bool)
         cand_pdf = cand_pdf.assign(maybe_seen=maybe_seen, admitted=False)
 
-        unseen = cand_pdf.loc[~maybe_seen]
+        # J4 VIP override: seen VIP rows stay admission-eligible
+        vip = (
+            cand_pdf["vip"].fillna(False).to_numpy(dtype=bool)
+            if "vip" in cand_pdf.columns
+            else np.zeros(len(cand_pdf), dtype=bool)
+        )
+        unseen = cand_pdf.loc[~maybe_seen | vip]
         if len(unseen):
             # deterministic admission order == the window path's order
             s = unseen.sort_values(

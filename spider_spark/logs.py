@@ -10,6 +10,10 @@ Re-expresses the reference's log_analysis MR fleet (cites into
 - A5  url→ref distinct pairs (url_ref_count.cc:17-56)
 - A6  per-query distinct-user count (query_count.cc:14-61)
 - A7  site pv stat (mr_stat_site_pv_mapper.cc:19-60)
+- J9  graph-signal enrich (crawler2/general_crawler/extractor.cc:99-199):
+  fetched resources look up uv_rank / click_rank / query / anchor blobs
+  keyed by 64-bit url sign — the Redis BatchInquire rendered as a
+  sign-keyed left join
 - 2.10 session segmentation (pvlog_segmenter.h:80-94): split at gap
   >5 min without referer / >30 min with, per agent, logs sorted by ts
 """
@@ -82,6 +86,69 @@ def query_user_counts(search: DataFrame, query_col: str = "query",
 def site_pv(pv: DataFrame, site_col: str = "site") -> DataFrame:
     """A7: pv count per site (partial agg is automatic)."""
     return pv.groupBy(site_col).agg(F.count("*").alias("pv"))
+
+
+def build_graph_signals(uv_ranks: DataFrame | None = None,
+                        click_ranks: DataFrame | None = None,
+                        queries: DataFrame | None = None,
+                        anchors: DataFrame | None = None,
+                        url_col: str = "url") -> DataFrame:
+    """Assemble the sign-keyed graph-signal table the enrich join consumes
+    — the Spark rendering of the Redis store's four fields (extractor.cc:
+    153-196: field 1 uv_rank, 2 click_rank, 3 query list, 4 anchor list).
+
+    Inputs are per-url tables: uv_ranks (url, uv_rank), click_ranks
+    (url, click_rank), queries (url, query) — collapsed to a list —
+    anchors (url, anchor) — collapsed to a list. Full outer join on url,
+    then keyed by url_sign64. Each input is optional (absent Redis field).
+    """
+    from . import urlkit
+
+    parts = []
+    if uv_ranks is not None:
+        parts.append(uv_ranks.select(url_col, "uv_rank"))
+    if click_ranks is not None:
+        parts.append(click_ranks.select(url_col, "click_rank"))
+    if queries is not None:
+        parts.append(
+            queries.groupBy(url_col)
+            .agg(F.sort_array(F.collect_list("query")).alias("queries"))
+        )
+    if anchors is not None:
+        parts.append(
+            anchors.groupBy(url_col)
+            .agg(F.sort_array(F.collect_list("anchor")).alias("anchors"))
+        )
+    if not parts:
+        raise ValueError("at least one signal table required")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.join(p, url_col, "full")
+    return out.withColumn("url_sign", urlkit.url_sign64(F.col(url_col))).drop(
+        url_col
+    )
+
+
+def enrich_graph_signals(resources: DataFrame, graph_signals: DataFrame,
+                         url_col: str = "url",
+                         success_col: str = "success") -> DataFrame:
+    """J9 (extractor.cc:99-199 AddResourceExtraInfo): attach the graph
+    blobs onto fetched resources. Only rows with a successful fetch
+    (the response_code == 200 gate, :118-123) are enriched — failed rows
+    keep NULL signals. The join key is the 64-bit sign of the canonical
+    url (CalcUrlSign role): at 10^10 rows a sign-keyed shuffle join with
+    uniform 8-byte keys, no skew.
+    """
+    from . import urlkit
+
+    r = resources.withColumn("url_sign", urlkit.url_sign64(F.col(url_col)))
+    out = r.join(graph_signals, "url_sign", "left")
+    for c in graph_signals.columns:
+        if c != "url_sign":
+            out = out.withColumn(
+                c, F.when(F.col(success_col), F.col(c))
+            )
+    return out.drop("url_sign")
 
 
 def sessionize(pv: DataFrame, uid_col: str = "uid", ts_col: str = "ts",

@@ -168,6 +168,51 @@ def admit_round(candidates: DataFrame, host_state: DataFrame,
     return out.drop(*drop_cols)
 
 
+def ip_cap_admitted(adm: DataFrame, host_ips: DataFrame,
+                    ip_budgets: DataFrame,
+                    default_ip_budget: int | None = None) -> DataFrame:
+    """Second-stage per-IP connection cap — the ip dimension of the
+    reference's LoadController (load_controller.h:18-52 keys records by IP;
+    host_load_control.txt:1-7 carries per-ip qps/connection limits), at
+    batch granularity: each ip's admitted rows per round ≤ its budget.
+
+    Runs AFTER host admission and only over the admitted subset — bounded
+    by Σ(host budgets), orders of magnitude below the frontier, so the
+    per-ip window is cheap at any scale and the fused host-bucket kernel
+    stays intact (two hosts sharing an ip need not share a bucket).
+
+    ``host_ips`` (host, ip) and ``ip_budgets`` (ip, budget) are
+    broadcast-sized dims. Rows demoted by the cap flip to admitted=False
+    (carryover). Hosts without a known ip, or ips without a budget row
+    when ``default_ip_budget`` is None, are uncapped. Demotion order is
+    the global frontier order (priority asc, score desc, url asc).
+    """
+    j = adm.join(F.broadcast(host_ips), "host", "left")
+    taken = j.filter(F.col("admitted"))
+    rest = j.filter(~F.col("admitted"))
+    b = ip_budgets.withColumnRenamed("budget", "_ip_budget")
+    taken = taken.join(F.broadcast(b), "ip", "left")
+    if default_ip_budget is not None:
+        budget_col = F.coalesce(F.col("_ip_budget"),
+                                F.lit(default_ip_budget))
+    else:
+        budget_col = F.col("_ip_budget")  # null → uncapped
+    w = Window.partitionBy("ip").orderBy(
+        F.asc("priority"), F.desc("score"), F.asc("url")
+    )
+    capped = (
+        taken.withColumn("_iprn", F.row_number().over(w))
+        .withColumn(
+            "admitted",
+            F.col("ip").isNull()
+            | budget_col.isNull()
+            | (F.col("_iprn") <= budget_col),
+        )
+        .drop("_iprn", "_ip_budget")
+    )
+    return capped.unionByName(rest).drop("ip")
+
+
 def update_host_state(host_state: DataFrame, fetch_results: DataFrame,
                       spec: PolitenessSpec, round_no: int) -> DataFrame:
     """Fold a round's per-host fetch outcomes into the politeness state

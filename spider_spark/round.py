@@ -49,6 +49,7 @@ FRONTIER_SCHEMA = T.StructType(
         T.StructField("host", T.StringType(), False),
         T.StructField("depth", T.IntegerType(), False),
         T.StructField("referer", T.StringType(), True),
+        T.StructField("vip", T.BooleanType(), False),
     ]
 )
 
@@ -63,12 +64,15 @@ class RoundSpec:
     max_rounds: int = 50
     politeness: pol.PolitenessSpec = field(default_factory=pol.PolitenessSpec)
     bloom: BloomSpec = field(default_factory=BloomSpec)
-    seen_mode: str = "bloom"     # "bloom" (compact, FP-confirm join) or
-    # "sign" (exact 8B/url shards — the reference's Redis CalcUrlSign
-    # semantics, no confirm join needed)
-    fused: bool = False          # sign mode only: probe+admission in one
+    seen_mode: str = "sign"      # "sign" (exact 8B/url shards — the
+    # reference's Redis CalcUrlSign semantics, no confirm join needed;
+    # DEFAULT) or "bloom" (opt-in when seen-state memory is the constraint:
+    # ~10 bits/url, but FP hits need a confirm anti-join that re-reads the
+    # growing linkbase every round)
+    fused: bool = True           # sign mode only: probe+admission in one
     # cogrouped Arrow stage (fused.py) — saves 2 shuffles + 1 python
-    # stage per round; buckets become host-keyed
+    # stage per round; buckets become host-keyed. Measured fastest config
+    # AND best scaling efficiency (BENCH.md §3) — the default
     confirm_hits: bool = True    # verify Bloom hits with an exact join
     collect_ordering: bool = True  # driver-side ordering witness (tests);
     # bench runs disable it — the witness collect is test instrumentation,
@@ -76,10 +80,17 @@ class RoundSpec:
     seed: int = 42
 
 
-def score_expr(depth):
-    """Frontier score: UV-style importance decaying with depth. Pure
-    function of depth so the Python simulator reproduces it exactly."""
-    return F.lit(1000.0) / (depth.cast("double") + F.lit(1.0))
+def score_expr(depth, uv=None):
+    """Frontier score: depth-decay base plus the log-derived UV signal when
+    a signal table is wired in (mr_selector_r1_mapper.cc:166-174 uv_rank
+    case / uv_data.cc:544-591 weights — the signal VALUES are produced by
+    frontier.uv_aggregate over pv/search logs; here they join the score).
+    Pure function of (depth, uv) so the Python simulator reproduces it
+    exactly."""
+    base = F.lit(1000.0) / (depth.cast("double") + F.lit(1.0))
+    if uv is None:
+        return base
+    return base + F.coalesce(uv.cast("double"), F.lit(0.0))
 
 
 def band_base(score):
@@ -98,12 +109,29 @@ class CrawlRun:
 
     def __init__(self, spark: SparkSession, docs: DataFrame, robots: DataFrame,
                  ckpt_dir: str, spec: RoundSpec = RoundSpec(),
-                 budgets: DataFrame | None = None):
+                 budgets: DataFrame | None = None,
+                 signals: DataFrame | None = None,
+                 host_ips: DataFrame | None = None,
+                 ip_budgets: DataFrame | None = None):
         self.spark = spark
         self.spec = spec
         self.ckpt = ckpt_dir
         self.robots = robots
         self.budgets = budgets
+        # per-ip politeness dim (load_controller.h:18-52): (host, ip) +
+        # (ip, budget) broadcast dims; admission caps each ip's admitted
+        # rows per round when both are present
+        self.host_ips = host_ips
+        self.ip_budgets = ip_budgets
+        # (url, uv) signal table from the log-analysis half
+        # (frontier.uv_aggregate over pv/search/click logs) — joined into
+        # the frontier score each round, closing the reference's §3.3→§3.1
+        # loop. At 10^9 urls this is a url-keyed shuffle join; the frontier
+        # and signal table share the url domain so AQE plans it sort-merge.
+        self.signals = (
+            signals.select(F.col("url"), F.col("uv").cast("double"))
+            if signals is not None else None
+        )
         if spec.seen_mode == "sign":
             from .seen import SignShards
 
@@ -131,11 +159,18 @@ class CrawlRun:
         )
 
     # -- candidate hygiene: one place that turns raw urls into frontier rows
-    def _prepare_candidates(self, urls: DataFrame) -> DataFrame:
+    def _prepare_candidates(self, urls: DataFrame,
+                            from_code: str = "E") -> DataFrame:
         """canonicalize → rule filter → robots gate → frontier columns.
-        ``urls`` needs (url, depth, referer)."""
+        ``urls`` needs (url, depth, referer). ``from_code`` is the source
+        tag (crawled_resource.proto:41-50): 'U' seeds, 'E' extracted — it
+        feeds the VIP flag (P9/J4: VIP rows bypass the seen-drop,
+        mr_selector_r1_reducer.cc:62-108)."""
+        from .selector import is_vip
+
         c = urls.withColumn("url", urlkit.canonicalize_url(F.col("url")))
         c = c.filter(F.col("url").isNotNull())
+        c = c.withColumn("vip", is_vip(F.lit(from_code), F.col("url")))
         # post-UDF the url is a plain attribute; host/path/query are single
         # regexp_extracts computed once as named columns (keeps the plan flat)
         c = c.withColumns(
@@ -151,7 +186,7 @@ class CrawlRun:
         c = pol.robots_level(c, self.robots)
         c = pol.robots_gate(c, self.spec.politeness.robots_policy_level)
         c = c.filter(F.col("depth") <= self.spec.max_depth)
-        return c.select("url", "host", "depth", "referer")
+        return c.select("url", "host", "depth", "referer", "vip")
 
     def _with_keys(self, frontier: DataFrame) -> DataFrame:
         # seen-shard bucket keys off the URL SIGN, not the host: the dedupe
@@ -160,7 +195,11 @@ class CrawlRun:
         # shuffles (the salted-shuffle requirement, SURVEY §7.4-3; host
         # grouping happens only in the politeness window, which admission
         # pre-prunes two-level — politeness.admit_round)
-        score = score_expr(F.col("depth"))
+        if self.signals is not None:
+            frontier = frontier.join(self.signals, "url", "left")
+            score = score_expr(F.col("depth"), F.col("uv"))
+        else:
+            score = score_expr(F.col("depth"))
         if self.spec.fused:
             # fused mode groups probe+admission per bucket, so a host's
             # rows must share a bucket (see fused.py tradeoff note)
@@ -170,12 +209,13 @@ class CrawlRun:
             bucket = F.pmod(
                 urlkit.url_sign64(F.col("url")), F.lit(self.spec.n_buckets)
             ).cast("int")
-        return (
+        out = (
             frontier.withColumn("sign", urlkit.url_sign64(F.col("url")))
             .withColumn("bucket", bucket)
             .withColumn("score", score)
             .withColumn("priority", band_base(score))
         )
+        return out.drop("uv") if self.signals is not None else out
 
     # -- per-round paths ----------------------------------------------------
 
@@ -225,10 +265,12 @@ class CrawlRun:
             seeds.select(
                 F.col("url"), F.lit(0).alias("depth"),
                 F.lit(None).cast("string").alias("referer")
-            )
+            ),
+            from_code="U",
         )
         cand = cand.groupBy("url", "host").agg(
-            F.min("depth").alias("depth"), F.min("referer").alias("referer")
+            F.min("depth").alias("depth"), F.min("referer").alias("referer"),
+            F.max("vip").alias("vip"),
         )
         self._write(cand, 0, "frontier")
         self._write(
@@ -298,24 +340,34 @@ class CrawlRun:
                 frontier, seen_state, host_state, self.budgets,
                 self.spec.politeness.default_budget, r,
             )
-            adm = flagged.filter(~F.col("maybe_seen")).drop(
-                "maybe_seen"
-            ).cache()
+            # J4 VIP override (mr_selector_r1_reducer.cc:62-108): a seen
+            # record drops the URL unless it is VIP — homepages / seeds /
+            # search-click pages re-admit for freshness
+            adm = flagged.filter(
+                ~F.col("maybe_seen") | F.col("vip")
+            ).drop("maybe_seen")
         else:
             # seen-probe: Bloom shards; hits confirmed exactly against the
-            # linkbase (so FPs cost one small join, never correctness)
+            # linkbase (so FPs cost one small join, never correctness).
+            # VIP rows bypass the whole seen-drop (J4 override) — they skip
+            # the confirm join too.
             probed = self.bloom.probe(frontier, seen_state)
             confirm = self.spec.confirm_hits and self.spec.seen_mode != "sign"
             if confirm and linkbase is not None:
-                hits = probed.filter(F.col("maybe_seen"))
+                hits = probed.filter(F.col("maybe_seen") & ~F.col("vip"))
                 fps = hits.join(linkbase.select("url"), "url", "left_anti")
-                unseen = probed.filter(~F.col("maybe_seen")).unionByName(fps)
+                unseen = probed.filter(
+                    ~F.col("maybe_seen") | F.col("vip")
+                ).unionByName(fps)
             else:
-                unseen = probed.filter(~F.col("maybe_seen"))
+                unseen = probed.filter(~F.col("maybe_seen") | F.col("vip"))
             unseen = unseen.drop("maybe_seen")
             adm = pol.admit_round(
                 unseen, host_state, self.budgets, self.spec.politeness, r
-            ).cache()
+            )
+        if self.host_ips is not None and self.ip_budgets is not None:
+            adm = pol.ip_cap_admitted(adm, self.host_ips, self.ip_budgets)
+        adm = adm.cache()
         admitted = adm.filter(F.col("admitted")).drop("admitted")
         carry = adm.filter(~F.col("admitted")).drop("admitted")
 
@@ -357,15 +409,18 @@ class CrawlRun:
         new_cand = self._prepare_candidates(new_raw)
 
         # 5. next frontier = carry ∪ new, minus just-admitted, deduped by
-        #    url keeping min depth (deterministic referer = min by url).
+        #    url keeping min depth (deterministic referer = min by url;
+        #    vip = any source says vip).
         nxt = (
-            carry.select("url", "host", "depth", "referer")
+            carry.select("url", "host", "depth", "referer", "vip")
             .unionByName(new_cand)
             .join(admitted.select("url"), "url", "left_anti")
         )
         nxt = (
             nxt.groupBy("url", "host")
-            .agg(F.min("depth").alias("depth"), F.min("referer").alias("referer"))
+            .agg(F.min("depth").alias("depth"),
+                 F.min("referer").alias("referer"),
+                 F.max("vip").alias("vip"))
         )
 
         # 6. state updates

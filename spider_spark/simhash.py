@@ -79,6 +79,104 @@ def simhash64(text: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
+def make_weighted_simhash_udf(idf: dict[str, float] | None = None,
+                              default_idf: float = 1.0):
+    """Factory for the tf·idf-weighted simhash UDF (D1 full fidelity:
+    html_simhash.h:51-139 — ConstructTokenHashPairs assigns every term a
+    weight of tf × idf from a static idf dictionary, nlp/idf role; terms
+    missing from the dict get ``default_idf``).
+
+    ``idf`` ships inside the UDF closure — the reference's dict is a
+    bounded whitelist file (--white_list), so it is broadcast-sized by
+    construction. ``idf=None`` degrades to pure tf voting, which equals
+    :func:`simhash64` bit-for-bit (the differential test's anchor).
+    """
+    idf = idf or {}
+
+    @pandas_udf(LongType())
+    def weighted_simhash64(text: pd.Series) -> pd.Series:
+        token_lists = text.fillna("").str.split()
+        vocab: dict[str, int] = {}
+        for toks in token_lists:
+            for t in toks:
+                if t not in vocab:
+                    vocab[t] = _token_hash64(t)
+        if vocab:
+            hashes = np.fromiter(vocab.values(), dtype=np.uint64,
+                                 count=len(vocab))
+            bits = (
+                np.unpackbits(hashes.view(np.uint8).reshape(-1, 8)[:, ::-1],
+                              axis=1)
+                .astype(np.float64)
+            )
+            votes_lut = bits * 2.0 - 1.0
+            index = {t: i for i, t in enumerate(vocab)}
+            idf_arr = np.fromiter(
+                (idf.get(t, default_idf) for t in vocab),
+                dtype=np.float64, count=len(vocab),
+            )
+        out = np.zeros(len(text), dtype=np.int64)
+        for row, toks in enumerate(token_lists):
+            if not toks:
+                continue
+            idx = np.fromiter((index[t] for t in toks), dtype=np.int64,
+                              count=len(toks))
+            # tf via bincount over the batch vocab ids; weight = tf · idf
+            uniq, tf = np.unique(idx, return_counts=True)
+            w = tf * idf_arr[uniq]
+            votes = (votes_lut[uniq] * w[:, None]).sum(axis=0)
+            sig = np.uint64(0)
+            for b in range(64):
+                if votes[b] > 0:
+                    sig |= np.uint64(1) << np.uint64(63 - b)
+            out[row] = np.int64(sig)
+        return pd.Series(out)
+
+    return weighted_simhash64
+
+
+def corpus_idf(docs: DataFrame, text_col: str = "text",
+               min_df: int = 1) -> DataFrame:
+    """(term, idf) from the corpus itself: idf = ln(N / df). One explode +
+    groupBy (partial-agg, uniform term keys). The production twin of the
+    reference's static idf dictionary (nlp/idf) when no dict is shipped;
+    collect + pass to :func:`make_weighted_simhash_udf` for bounded
+    vocabularies, or keep as a table and join for open ones."""
+    n = docs.count()
+    terms = docs.select(
+        F.explode(
+            F.array_distinct(F.split(F.trim(F.col(text_col)), r"\s+"))
+        ).alias("term")
+    ).filter(F.col("term") != "")
+    df_tab = terms.groupBy("term").agg(F.count("*").alias("df"))
+    return df_tab.filter(F.col("df") >= min_df).select(
+        "term", F.log(F.lit(float(n)) / F.col("df")).alias("idf")
+    )
+
+
+def assign_simhash(linkbase: DataFrame, docs: DataFrame,
+                   idf: dict[str, float] | None = None,
+                   url_col: str = "url", id_col: str = "doc_id",
+                   text_col: str = "text", n_shards: int = 64) -> DataFrame:
+    """D3 (mr_assign_page_simhash_mapper.cc:30-69 + reducer): compute the
+    weighted signature per fetched doc and attach it onto linkbase records
+    by url; urls without content get simhash 0 (the mapper's error path
+    sets hash = 0); ``shard`` = AssignShardId(url) mirrors the reducer's
+    sharded file output (a write-time ``partitionBy`` key here)."""
+    from . import urlkit
+
+    udf = make_weighted_simhash_udf(idf)
+    sigs = docs.select(
+        F.col(id_col).alias(url_col),
+        udf(F.col(text_col)).alias("simhash"),
+    )
+    return (
+        linkbase.join(sigs, url_col, "left")
+        .withColumn("simhash", F.coalesce(F.col("simhash"), F.lit(0)))
+        .withColumn("shard", urlkit.shard_id(F.col(url_col), n_shards))
+    )
+
+
 def block_keys(sign_col) -> list:
     """The 10 Manku table keys for one signature: for table t = (i, j),
     key = (bits of block i) * 2^|j| + (bits of block j). Pure column

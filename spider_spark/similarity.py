@@ -89,7 +89,10 @@ def knn_ivf(emb: DataFrame, query_vec: list[float], k: int = 10,
     At 100 TB the assignment is computed once at write time and used as the
     table's partition key — a query then scans n_probe/n_centroids of the
     data (partition pruning), which is the whole point of IVF."""
-    # deterministic "k-means--": sample rows by hash order as centroids
+    # deterministic "k-means--": hash-order head as centroids. orderBy +
+    # limit compiles to TakeOrderedAndProject — a per-partition top-16 heap
+    # merged on the driver, NOT a materialized full sort (verified in the
+    # physical plan), so the sample costs one scan at any scale.
     sample = (
         emb.select(id_col, vec_col)
         .orderBy(F.pmod(F.xxhash64(F.col(id_col) + seed), F.lit(997)),
@@ -99,26 +102,25 @@ def knn_ivf(emb: DataFrame, query_vec: list[float], k: int = 10,
     )
     centroids = [list(map(float, r[vec_col])) for r in sample]
 
-    # centroid assignment = broadcast crossJoin + per-row argmax window —
-    # the write-time partitioning join at scale (a CASE-chain over literal
-    # centroid arrays would rebuild an exponential expression tree)
-    spark = emb.sparkSession
-    cent_df = spark.createDataFrame(
-        [(ci, c) for ci, c in enumerate(centroids)],
-        "centroid int, cvec array<double>",
-    )
-    from pyspark.sql import Window
-
-    w = (
-        Window.partitionBy(id_col)
-        .orderBy(F.desc("c_cos"), F.asc("centroid"))
-    )
-    assigned = (
-        emb.crossJoin(F.broadcast(cent_df))
-        .withColumn("c_cos", cosine_expr(F.col(vec_col), F.col("cvec")))
-        .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("c_cos", "cvec", "_rn")
+    # centroid assignment: per-row argmax over a FLAT literal array of
+    # (cosine, centroid) structs — array_max's lexicographic struct order
+    # picks the best centroid with NO shuffle (the old plan crossJoined
+    # then row_number'd over a window partitioned by vec_id: a full
+    # n×n_centroids shuffle just to take an argmax of 16 values). The
+    # negated index makes ties resolve to the LOWEST centroid id. A flat
+    # array is linear in plan size — unlike a nested CASE chain, which
+    # re-inlines the running best and explodes (see round-1 incident).
+    scored = F.array(*[
+        F.struct(
+            cosine_expr(
+                F.col(vec_col), F.array(*[F.lit(float(x)) for x in c])
+            ).alias("c_cos"),
+            F.lit(-ci).alias("neg_centroid"),
+        )
+        for ci, c in enumerate(centroids)
+    ])
+    assigned = emb.withColumn(
+        "centroid", -F.array_max(scored)["neg_centroid"]
     )
     qv = np.array(query_vec, dtype=float)
 

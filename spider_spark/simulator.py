@@ -106,6 +106,21 @@ class SimSpec:
     holdon_failures: int = 10
     holdon_rounds: int = 1
     max_failed_times: int = 100
+    # url → uv signal (twin of CrawlRun(signals=...): score adds uv)
+    signals: dict[str, float] = field(default_factory=dict)
+    # per-ip cap (twin of CrawlRun(host_ips=…, ip_budgets=…)):
+    # host → ip dim and ip → budget; ips without a budget are uncapped
+    host_ips: dict[str, str] = field(default_factory=dict)
+    ip_budgets: dict[str, int] = field(default_factory=dict)
+
+
+def is_vip(url: str, from_seed: bool) -> bool:
+    """Twin of selector.is_vip at the two source codes the round uses:
+    seeds ('U') are always VIP; extracted links ('E') are VIP iff they are
+    site homepages (crawler_selector_util.h:21-34)."""
+    import re
+
+    return from_seed or bool(re.match(r"^[a-z]+://[^/]+/$", url))
 
 
 def simulate(
@@ -122,8 +137,8 @@ def simulate(
         p = urlsplit(url)
         return (p.hostname or "").lower(), p.path or "/"
 
-    def prepare(raw: list[tuple[str, int, str | None]]):
-        """(url, depth, referer) → admitted-to-frontier rows."""
+    def prepare(raw: list[tuple[str, int, str | None]], from_seed: bool):
+        """(url, depth, referer) → admitted-to-frontier rows + vip flag."""
         out = []
         for url, depth, ref in raw:
             c = canonicalize(url)
@@ -134,19 +149,21 @@ def simulate(
                 continue
             if depth > spec.max_depth:
                 continue
-            out.append((c, host, depth, ref))
+            out.append((c, host, depth, ref, is_vip(c, from_seed)))
         return out
 
-    # frontier: url → (host, depth)  (min depth wins)
-    frontier: dict[str, tuple[str, int]] = {}
+    # frontier: url → (host, depth, vip)  (min depth wins; vip ORs)
+    frontier: dict[str, tuple[str, int, bool]] = {}
 
     def add(rows):
-        for url, host, depth, _ref in rows:
+        for url, host, depth, _ref, vip in rows:
             cur = frontier.get(url)
-            if cur is None or depth < cur[1]:
-                frontier[url] = (host, depth)
+            if cur is None:
+                frontier[url] = (host, depth, vip)
+            else:
+                frontier[url] = (host, min(depth, cur[1]), vip or cur[2])
 
-    add(prepare([(u, 0, None) for u in seeds]))
+    add(prepare([(u, 0, None) for u in seeds], from_seed=True))
     seen: set[str] = set()
     consec: dict[str, int] = {}
     holdon_until: dict[str, int] = {}
@@ -154,13 +171,13 @@ def simulate(
     rounds: list[list[str]] = []
 
     for r in range(spec.max_rounds):
-        # dedupe vs seen
-        for u in [u for u in frontier if u in seen]:
+        # dedupe vs seen — VIP rows bypass the seen-drop (J4 override)
+        for u in [u for u in frontier if u in seen and not frontier[u][2]]:
             del frontier[u]
         # per-host admission
         by_host: dict[str, list[tuple[int, float, str]]] = {}
-        for url, (host, depth) in frontier.items():
-            score = 1000.0 / (depth + 1)
+        for url, (host, depth, _vip) in frontier.items():
+            score = 1000.0 / (depth + 1) + spec.signals.get(url, 0.0)
             pri = 0 if score >= 500 else 10 if score >= 100 else \
                 30 if score >= 10 else 50
             by_host.setdefault(host, []).append((pri, -score, url))
@@ -172,6 +189,24 @@ def simulate(
             b = spec.budgets.get(host, spec.default_budget)
             for pri, negscore, url in rows[:b]:
                 admitted.append((url, host, frontier[url][1]))
+        # second-stage per-ip cap (load_controller.h:18-52 twin): among
+        # host-admitted rows, each budgeted ip keeps its first `budget`
+        # rows in global frontier order; the rest stay in the frontier
+        if spec.ip_budgets:
+            by_ip: dict[str, list[tuple[int, float, str]]] = {}
+            for url, host, depth in admitted:
+                ip = spec.host_ips.get(host)
+                if ip is not None and ip in spec.ip_budgets:
+                    score = 1000.0 / (depth + 1) + spec.signals.get(url, 0.0)
+                    pri = 0 if score >= 500 else 10 if score >= 100 else \
+                        30 if score >= 10 else 50
+                    by_ip.setdefault(ip, []).append((pri, -score, url))
+            demoted: set[str] = set()
+            for ip, iprows in by_ip.items():
+                iprows.sort()
+                for _, _, url in iprows[spec.ip_budgets[ip]:]:
+                    demoted.add(url)
+            admitted = [a for a in admitted if a[0] not in demoted]
         rounds.append(sorted(u for u, _, _ in admitted))
 
         # fetch + host state
@@ -197,7 +232,15 @@ def simulate(
                 if consec[host] >= spec.max_failed_times:
                     dropped.add(host)
 
-        add([x for x in prepare(new_raw) if x[0] not in seen])
+        # new candidates: just-admitted urls are excluded (the engine's
+        # anti-join vs this round's admitted set); other seen urls survive
+        # only as VIP — non-vip seen rows would be dropped at next round's
+        # probe anyway, so pruning them here is observationally identical
+        batch = {u for u, _, _ in admitted}
+        add([
+            x for x in prepare(new_raw, from_seed=False)
+            if x[0] not in batch and (x[0] not in seen or x[4])
+        ])
         if not frontier and not admitted:
             break
 

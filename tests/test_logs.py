@@ -74,3 +74,41 @@ def test_sessionize_gaps(spark):
     assert got[("u1", 500.0)] == 1
     assert got[("u1", 520.0)] == 1
     assert got[("u2", 0.0)] == 0
+
+
+def test_graph_signal_enrich(spark):
+    """J9 (extractor.cc:99-199): uv/click/query/anchor blobs attach by url
+    sign; failed fetches keep NULL signals."""
+    from spider_spark.logs import build_graph_signals, enrich_graph_signals
+
+    uv = spark.createDataFrame(
+        [("http://x.com/a", 7.5), ("http://x.com/b", 1.0)],
+        "url string, uv_rank double",
+    )
+    clicks = spark.createDataFrame(
+        [("http://x.com/a", 3.0)], "url string, click_rank double"
+    )
+    queries = spark.createDataFrame(
+        [("http://x.com/a", "q2"), ("http://x.com/a", "q1")],
+        "url string, query string",
+    )
+    anchors = spark.createDataFrame(
+        [("http://x.com/b", "anchor text")], "url string, anchor string"
+    )
+    signals = build_graph_signals(uv, clicks, queries, anchors)
+    resources = spark.createDataFrame(
+        [("http://x.com/a", True), ("http://x.com/b", False),
+         ("http://x.com/c", True)],
+        "url string, success boolean",
+    )
+    out = {r["url"]: r for r in
+           enrich_graph_signals(resources, signals).collect()}
+    assert out["http://x.com/a"]["uv_rank"] == 7.5
+    assert out["http://x.com/a"]["click_rank"] == 3.0
+    assert out["http://x.com/a"]["queries"] == ["q1", "q2"]
+    assert out["http://x.com/a"]["anchors"] is None
+    # failed fetch: signals masked to NULL (response_code gate)
+    assert out["http://x.com/b"]["uv_rank"] is None
+    assert out["http://x.com/b"]["anchors"] is None
+    # url absent from the store: NULLs
+    assert out["http://x.com/c"]["uv_rank"] is None

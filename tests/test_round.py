@@ -192,7 +192,7 @@ def test_resume_spec_mismatch_fails_fast(spark, world, tmp_path_factory):
     CrawlRun(spark, docs, robots, ck, short).run(seeds_df)
 
     other = RoundSpec(n_buckets=8, max_depth=2, max_rounds=4,
-                      politeness=PSPEC, seen_mode="sign")
+                      politeness=PSPEC, seen_mode="bloom", fused=False)
     with pytest.raises(ValueError, match="state-layout"):
         CrawlRun(spark, docs, robots, ck, other).run(seeds_df, resume=True)
 
@@ -216,3 +216,156 @@ def test_seen_urls_ignores_uncommitted_delta(spark, world, tmp_path_factory):
     )
     run._write_linkbase_delta(orphan, r)
     assert run.seen_urls() == before
+
+
+# --------------------------------------------------------------------------
+# VIP seen-bypass (J4) + signal-driven scoring — round-2 wiring
+# --------------------------------------------------------------------------
+
+_DOC_DDL = ("doc_id string, spans array<struct<kind:string,text:string,"
+            "media_ref:string,offset:int>>")
+_ROBOTS_DDL = ("host string, has_robots boolean, allow_all boolean, "
+               "disallow_prefixes array<string>")
+
+
+def _mk_docs(spark, adj: dict[str, list[str]]):
+    rows = [
+        (u, [("anchor", f'<a href="{t}">x</a>', t, i)
+             for i, t in enumerate(links)])
+        for u, links in adj.items()
+    ]
+    return spark.createDataFrame(rows, _DOC_DDL)
+
+
+def _allow_all_robots(spark, hosts: list[str]):
+    return spark.createDataFrame(
+        [(h, True, True, []) for h in hosts], _ROBOTS_DDL
+    )
+
+
+def _sim_robots_allow(hosts: list[str]) -> sim.SimRobots:
+    return sim.SimRobots({h: (True, True, []) for h in hosts})
+
+
+def _run_engine(spark, docs, robots, ck, rspec, seeds, signals=None):
+    run = CrawlRun(spark, docs, robots, ck, rspec, signals=signals)
+    res = run.run(spark.createDataFrame([(u,) for u in seeds], "url string"))
+    rounds = [r["admitted_urls"] for r in res]
+    while rounds and not rounds[-1]:
+        rounds.pop()
+    return run, rounds
+
+
+@pytest.mark.parametrize("mode", ["bloom", "sign", "fused"])
+def test_vip_homepage_refresh_matches_simulator(spark, tmp_path_factory, mode):
+    """J4 VIP override (mr_selector_r1_reducer.cc:62-108): a homepage
+    rediscovered after being crawled is re-admitted (seen-drop bypass);
+    plain pages are not. All three probe paths, twinned by the simulator."""
+    home = "http://a.example.com/"
+    p1, p2 = "http://a.example.com/p/1", "http://a.example.com/p/2"
+    adj = {home: [p1, p2], p1: [home, p2], p2: [home, p1]}
+    docs = _mk_docs(spark, adj)
+    robots = _allow_all_robots(spark, ["a.example.com"])
+    rspec = RoundSpec(
+        n_buckets=4, max_depth=4, max_rounds=6,
+        politeness=PolitenessSpec(qps=1.0, round_seconds=5.0),
+        seen_mode="sign" if mode in ("sign", "fused") else "bloom",
+        fused=(mode == "fused"),
+    )
+    ck = str(tmp_path_factory.mktemp(f"ck_vip_{mode}"))
+    _, rounds = _run_engine(spark, docs, robots, ck, rspec, [home])
+
+    simout = sim.simulate(
+        [home], adj, _sim_robots_allow(["a.example.com"]),
+        sim.SimSpec(default_budget=5, max_depth=4, max_rounds=6),
+    )
+    assert rounds == simout["rounds"]
+    # the homepage must appear in MORE than one round (the refresh), and
+    # plain pages exactly once
+    n_home = sum(home in r for r in rounds)
+    n_p1 = sum(p1 in r for r in rounds)
+    assert n_home >= 2 and n_p1 == 1
+
+
+def test_signal_scoring_reorders_admission(spark, tmp_path_factory):
+    """Log-signal-driven frontier scoring (mr_selector_r1_mapper.cc:166-174
+    uv_rank case): a (url, uv) signal table reorders per-host admission
+    away from the depth/url default; engine and simulator move together."""
+    seed = "http://c.example.com/p/0"
+    pages = [f"http://b.example.com/p/{i}" for i in range(1, 5)]
+    adj = {seed: pages}
+    hosts = ["b.example.com", "c.example.com"]
+    docs = _mk_docs(spark, adj)
+    robots = _allow_all_robots(spark, hosts)
+    uv = {pages[2]: 50.0, pages[1]: 20.0}  # favor p/3 then p/2
+    signals = spark.createDataFrame(list(uv.items()), "url string, uv double")
+    rspec = RoundSpec(
+        n_buckets=4, max_depth=3, max_rounds=8,
+        politeness=PolitenessSpec(qps=1.0, round_seconds=1.0),  # budget 1
+    )
+    ck = str(tmp_path_factory.mktemp("ck_sig"))
+    _, rounds = _run_engine(spark, docs, robots, ck, rspec, [seed],
+                            signals=signals)
+
+    simout = sim.simulate(
+        [seed], adj, _sim_robots_allow(hosts),
+        sim.SimSpec(default_budget=1, max_depth=3, max_rounds=8, signals=uv),
+    )
+    base = sim.simulate(
+        [seed], adj, _sim_robots_allow(hosts),
+        sim.SimSpec(default_budget=1, max_depth=3, max_rounds=8),
+    )
+    assert rounds == simout["rounds"]
+    assert simout["rounds"] != base["rounds"]  # the signal actually reorders
+    # uv-ranked page admitted before lexically-earlier siblings
+    flat = [u for r in rounds for u in r if u.startswith("http://b.")]
+    assert flat.index(pages[2]) == 0 and flat.index(pages[1]) == 1
+
+
+def test_per_ip_cap_matches_simulator(spark, tmp_path_factory):
+    """Per-ip politeness (load_controller.h:18-52): two hosts sharing one
+    ip with an ip budget below the sum of host budgets — the cap demotes
+    rows each round identically in engine and simulator."""
+    seed = "http://d.example.com/p/0"
+    b_pages = [f"http://b.example.com/p/{i}" for i in range(1, 5)]
+    c_pages = [f"http://c.example.com/p/{i}" for i in range(1, 5)]
+    adj = {seed: b_pages + c_pages}
+    hosts = ["b.example.com", "c.example.com", "d.example.com"]
+    docs = _mk_docs(spark, adj)
+    robots = _allow_all_robots(spark, hosts)
+    host_ips = spark.createDataFrame(
+        [("b.example.com", "10.0.0.9"), ("c.example.com", "10.0.0.9"),
+         ("d.example.com", "10.0.0.7")],
+        "host string, ip string",
+    )
+    ip_budgets = spark.createDataFrame(
+        [("10.0.0.9", 3)], "ip string, budget int"
+    )
+    rspec = RoundSpec(
+        n_buckets=4, max_depth=3, max_rounds=8,
+        politeness=PolitenessSpec(qps=1.0, round_seconds=3.0),  # 3/host
+    )
+    ck = str(tmp_path_factory.mktemp("ck_ipcap"))
+    run = CrawlRun(spark, docs, robots, ck, rspec,
+                   host_ips=host_ips, ip_budgets=ip_budgets)
+    res = run.run(spark.createDataFrame([(seed,)], "url string"))
+    rounds = [r["admitted_urls"] for r in res]
+    while rounds and not rounds[-1]:
+        rounds.pop()
+
+    simout = sim.simulate(
+        [seed], adj, _sim_robots_allow(hosts),
+        sim.SimSpec(default_budget=3, max_depth=3, max_rounds=8,
+                    host_ips={"b.example.com": "10.0.0.9",
+                              "c.example.com": "10.0.0.9",
+                              "d.example.com": "10.0.0.7"},
+                    ip_budgets={"10.0.0.9": 3}),
+    )
+    assert rounds == simout["rounds"]
+    # the cap must bind: 8 same-ip candidates vs host budget 3+3, ip 3
+    per_round_ip = [
+        sum(u.startswith(("http://b.", "http://c.")) for u in r)
+        for r in rounds
+    ]
+    assert max(per_round_ip, default=0) == 3
+    assert run.seen_urls() == simout["seen"]

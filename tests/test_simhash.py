@@ -72,3 +72,105 @@ def test_candidates_exhaustive_recall(spark):
     got = {(r["a"], r["b"])
            for r in sh.simhash_candidates(docs, "doc_id", "simhash").collect()}
     assert got == brute
+
+
+# --------------------------------------------------------------------------
+# tf·idf-weighted simhash (D1 full fidelity) + D3 assign-onto-linkbase
+# --------------------------------------------------------------------------
+
+def _py_weighted_simhash(text: str, idf: dict[str, float],
+                         default_idf: float = 1.0) -> int:
+    """Independent pure-Python twin of the weighted UDF."""
+    from collections import Counter
+
+    votes = [0.0] * 64
+    for term, tf in Counter(text.split()).items():
+        h = sh._token_hash64(term)
+        w = tf * idf.get(term, default_idf)
+        for b in range(64):
+            bit = (h >> (63 - b)) & 1
+            votes[b] += w if bit else -w
+    sig = 0
+    for b in range(64):
+        if votes[b] > 0:
+            sig |= 1 << (63 - b)
+    return sig - (1 << 64) if sig >= (1 << 63) else sig
+
+
+def test_weighted_simhash_matches_python_twin(spark):
+    idf = {"rare": 8.0, "unusual": 6.5, "the": 0.1, "a": 0.1}
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox jumps over the rare unusual dog",
+        "a a a the the rare",
+        "",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    udf = sh.make_weighted_simhash_udf(idf)
+    got = [r["s"] for r in df.select(udf(F.col("text")).alias("s")).collect()]
+    want = [_py_weighted_simhash(t, idf) if t else 0 for t in texts]
+    assert got == want
+
+
+def test_weighted_default_equals_unweighted(spark):
+    """idf=None (all weights = tf·1) must reproduce simhash64 exactly —
+    the weighted kernel is a strict generalization."""
+    texts = [
+        "alpha beta gamma delta", "alpha alpha beta", "x y z w v u t",
+        "one two three four five six seven eight nine ten",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    udf = sh.make_weighted_simhash_udf(None)
+    both = df.select(
+        sh.simhash64(F.col("text")).alias("u"),
+        udf(F.col("text")).alias("w"),
+    ).collect()
+    for r in both:
+        assert r["u"] == r["w"]
+
+
+def test_weighting_changes_signature(spark):
+    """tf·idf weighting must actually change signatures when rare terms
+    dominate — the D1 fidelity gap the unweighted kernel had."""
+    t = "common common common common rareterm"
+    df = spark.createDataFrame([(t,)], "text string")
+    heavy = sh.make_weighted_simhash_udf({"rareterm": 50.0, "common": 0.01})
+    r = df.select(
+        sh.simhash64(F.col("text")).alias("u"),
+        heavy(F.col("text")).alias("w"),
+    ).first()
+    assert r["u"] != r["w"]
+
+
+def test_corpus_idf_values(spark):
+    docs = spark.createDataFrame(
+        [("d1", "a b"), ("d2", "a c"), ("d3", "a b c d")],
+        "doc_id string, text string",
+    )
+    import math
+
+    got = {r["term"]: r["idf"] for r in sh.corpus_idf(docs).collect()}
+    assert abs(got["a"] - math.log(3 / 3)) < 1e-12
+    assert abs(got["b"] - math.log(3 / 2)) < 1e-12
+    assert abs(got["d"] - math.log(3 / 1)) < 1e-12
+
+
+def test_assign_simhash_onto_linkbase(spark):
+    """D3 (mr_assign_page_simhash_mapper.cc:30-69): signatures attach by
+    url; urls with no fetched content get simhash 0; shard key present."""
+    docs = spark.createDataFrame(
+        [("http://a.com/1", "alpha beta gamma"),
+         ("http://a.com/2", "delta epsilon zeta")],
+        "doc_id string, text string",
+    )
+    lb = spark.createDataFrame(
+        [("http://a.com/1", True), ("http://a.com/2", True),
+         ("http://a.com/3", False)],
+        "url string, success boolean",
+    )
+    out = {r["url"]: (r["simhash"], r["shard"])
+           for r in sh.assign_simhash(lb, docs, n_shards=8).collect()}
+    assert len(out) == 3
+    assert out["http://a.com/3"][0] == 0
+    assert out["http://a.com/1"][0] != 0
+    assert all(0 <= s < 8 for _, s in out.values())

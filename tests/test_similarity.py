@@ -60,3 +60,15 @@ def test_hyperplane_bucket_groups_identical_vectors(spark, emb):
     buckets = {r["vec_id"]: r["bucket"] for r in b.collect()}
     for i in range(200):
         assert buckets[i] == buckets[i + 1000]  # identical vec → same bucket
+
+
+def test_knn_ivf_plan_shuffle_free(emb, query):
+    """The centroid assignment must be a per-row argmax (flat literal
+    struct array), not a crossJoin + per-id window: no Window operator and
+    no hash-partition exchange anywhere in the plan (VERDICT r1 §3)."""
+    from spider_spark.similarity import knn_ivf
+
+    out = knn_ivf(emb, query, k=5, n_centroids=8, n_probe=4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan
+    assert "hashpartitioning" not in plan, plan

@@ -23,7 +23,7 @@ TABLES = ("region nation customer supplier part orders lineitem events "
 def value_hash(rows: list[tuple], cols: list[str]) -> str:
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     canon = sorted(
-        tuple(_norm(r[i]) for i in order) for r in rows
+        (tuple(_norm(r[i]) for i in order) for r in rows), key=repr
     )
     h = hashlib.sha256()
     for row in canon:
