@@ -507,6 +507,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out = sel.attach_ip(urls, dns)
         return out.groupBy("host", "ip").agg(F.count("*").alias("n"))
 
+    def pv_round2(spark, sf):
+        """pv_r2 (pv_r2.cc:19-101): compound-key (uid, ts) local md5
+        resolution — unresolved dest dropped, unresolved ref → '', then
+        set-dedup with the already-final rows."""
+        ev = _t(spark, sf, "events")
+        uid = F.col("user_id").cast("string").alias("uid")
+        ts = (F.col("event_id") % 50).cast("int").alias("ts")
+        final = ev.filter(F.col("event_id") % 3 == 0).select(
+            uid, ts,
+            F.concat(F.lit("http://pv.example.com/f/"),
+                     (F.col("event_id") % 200).cast("string")).alias("url"),
+            F.lit("").alias("ref_url"),
+        )
+        pending = ev.filter(F.col("event_id") % 3 == 1).select(
+            uid, ts,
+            F.concat(F.lit("m"), (F.col("event_id") % 7).cast("string"))
+            .alias("url_md5"),
+            F.concat(F.lit("m"), (F.col("event_id") % 11).cast("string"))
+            .alias("ref_md5"),
+        )
+        local_map = ev.filter(F.col("event_id") % 3 == 2).select(
+            uid, ts,
+            F.concat(F.lit("m"), (F.col("event_id") % 5).cast("string"))
+            .alias("md5"),
+            F.concat(F.lit("http://pv.example.com/r/"),
+                     (F.col("event_id") % 100).cast("string")).alias("url"),
+        ).groupBy("uid", "ts", "md5").agg(F.min("url").alias("url"))
+        return logs.resolve_md5_round2(final, pending, local_map)
+
     def graph_enrich(spark, sf):
         """J9 (extractor.cc:99-199): graph-signal blobs (uv/click/query)
         attach onto fetched resources by url sign; failed fetches keep
@@ -637,6 +666,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_transforms": url_transforms,
         "eval_success": eval_success,
         "ip_attach": ip_attach,
+        "pv_round2": pv_round2,
         "graph_enrich": graph_enrich,
         "simhash_assign": simhash_assign,
         "crawl_rounds_e2e": crawl_rounds_e2e,
@@ -952,6 +982,37 @@ def oracle_sql() -> dict[str, str]:
             SELECT decile, COUNT(*) AS n,
                    ROUND(AVG(ok), 6) AS success_rate
             FROM j GROUP BY 1
+        """,
+        "pv_round2": """
+            WITH final AS (
+              SELECT CAST(user_id AS VARCHAR) AS uid,
+                     CAST(event_id % 50 AS INT) AS ts,
+                     'http://pv.example.com/f/' || (event_id % 200) AS url,
+                     '' AS ref_url
+              FROM events WHERE event_id % 3 = 0),
+            pending AS (
+              SELECT CAST(user_id AS VARCHAR) AS uid,
+                     CAST(event_id % 50 AS INT) AS ts,
+                     'm' || (event_id % 7) AS url_md5,
+                     'm' || (event_id % 11) AS ref_md5
+              FROM events WHERE event_id % 3 = 1),
+            local_map AS (
+              SELECT CAST(user_id AS VARCHAR) AS uid,
+                     CAST(event_id % 50 AS INT) AS ts,
+                     'm' || (event_id % 5) AS md5,
+                     MIN('http://pv.example.com/r/' || (event_id % 100)) AS url
+              FROM events WHERE event_id % 3 = 2
+              GROUP BY 1, 2, 3),
+            resolved AS (
+              SELECT p.uid, p.ts, d.url,
+                     COALESCE(r.url, '') AS ref_url
+              FROM pending p
+              JOIN local_map d
+                ON p.uid = d.uid AND p.ts = d.ts AND p.url_md5 = d.md5
+              LEFT JOIN local_map r
+                ON p.uid = r.uid AND p.ts = r.ts AND p.ref_md5 = r.md5)
+            SELECT DISTINCT * FROM (
+              SELECT * FROM final UNION ALL SELECT * FROM resolved)
         """,
         "graph_enrich": """
             WITH res AS (

@@ -56,6 +56,56 @@ def resolve_md5_urls(pv: DataFrame, md5_map: DataFrame,
     return out
 
 
+def resolve_md5_round2(final: DataFrame, pending: DataFrame,
+                       local_map: DataFrame, uid_col: str = "uid",
+                       ts_col: str = "ts") -> DataFrame:
+    """pv second round (pv_r2.cc:19-101): unlike pv_r1's GLOBAL md5
+    dictionary, round 2 resolves the leftover ``still_md5`` rows against
+    md5→url map entries co-keyed by the COMPOUND key (mid, time_stamp) —
+    session-local dictionaries shipped with the log slice.
+
+    - ``pending`` rows (uid, ts, url_md5, ref_md5, …) whose url md5 has no
+      map entry are DROPPED (ReportAbnormalData kInvalidURL, :85-88);
+    - unresolved referers clear to '' (:90-95);
+    - output = already-resolved ``final`` rows ∪ newly resolved, set-
+      deduplicated per compound key (the reducer's std::set, :61-62).
+
+    One DAG: two compound-key equi-joins + dropDuplicates — both joins
+    shuffle on (uid, ts, md5), uniform keys, no skew.
+    """
+    dest_map = local_map.select(
+        F.col(uid_col), F.col(ts_col),
+        F.col("md5").alias("url_md5"), F.col("url").alias("url"),
+    )
+    ref_map = local_map.select(
+        F.col(uid_col), F.col(ts_col),
+        F.col("md5").alias("ref_md5"), F.col("url").alias("ref_url"),
+    )
+    resolved = (
+        pending.join(dest_map, [uid_col, ts_col, "url_md5"], "inner")
+        .join(ref_map, [uid_col, ts_col, "ref_md5"], "left")
+        .withColumn("ref_url", F.coalesce(F.col("ref_url"), F.lit("")))
+    )
+    return final.unionByName(
+        resolved.select(*final.columns)
+    ).dropDuplicates()
+
+
+def pv_combine(*parts: DataFrame, uid_col: str = "uid",
+               ts_col: str = "ts") -> DataFrame:
+    """pv_combine (pv_combine.cc:16-49): merge the per-round pv outputs
+    back into one compound-key table — the MR job's CityHash64(mid)
+    reducer routing + per-key merge is a union + repartition on uid +
+    within-partition (uid, ts) sort; downstream sessionization reuses the
+    same clustering, so AQE elides the next exchange."""
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.repartition(F.col(uid_col)).sortWithinPartitions(
+        uid_col, ts_col
+    )
+
+
 def search_click_join(search: DataFrame, pv: DataFrame) -> DataFrame:
     """J6: key (uid, url, query, se); pv rows are clicks of search results;
     ads (rank > 10) dropped before the join."""

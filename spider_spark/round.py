@@ -77,6 +77,10 @@ class RoundSpec:
     collect_ordering: bool = True  # driver-side ordering witness (tests);
     # bench runs disable it — the witness collect is test instrumentation,
     # not part of the round
+    recrawl_ttl_rounds: int | None = None  # scheduler.cc:381-393: a url
+    # whose latest crawl is ≥ ttl rounds old stops counting as seen (its
+    # sign is deleted from the shard), so rediscovery re-admits it.
+    # Requires seen_mode='sign' (Bloom cannot delete).
     seed: int = 42
 
 
@@ -137,6 +141,12 @@ class CrawlRun:
 
             self.bloom = SignShards()
         else:
+            if spec.recrawl_ttl_rounds is not None:
+                raise ValueError(
+                    "recrawl_ttl_rounds requires seen_mode='sign' (Bloom "
+                    "filters cannot delete; see seen.CuckooShards for the "
+                    "deletable compact alternative)"
+                )
             self.bloom = BloomShards(spec.bloom)
         # Pre-extract the adjacency once: (doc_id, outlink). At scale this
         # is the Iceberg documents table scanned with column pruning (spans
@@ -216,6 +226,16 @@ class CrawlRun:
             .withColumn("priority", band_base(score))
         )
         return out.drop("uv") if self.signals is not None else out
+
+    def _seen_keys(self, df: DataFrame) -> DataFrame:
+        """(bucket, sign) under the SAME keying _with_keys uses — the
+        layout contract the resume validator guards."""
+        sign = urlkit.url_sign64(F.col("url"))
+        if self.spec.fused:
+            bucket = urlkit.host_bucket(F.col("host"), self.spec.n_buckets)
+        else:
+            bucket = F.pmod(sign, F.lit(self.spec.n_buckets)).cast("int")
+        return df.select(bucket.alias("bucket"), sign.alias("sign"))
 
     # -- per-round paths ----------------------------------------------------
 
@@ -423,10 +443,38 @@ class CrawlRun:
                  F.max("vip").alias("vip"))
         )
 
-        # 6. state updates
-        new_seen = self.bloom.update(
-            admitted.select("bucket", "sign"), seen_state
-        )
+        # 6. state updates. Recrawl TTL (scheduler.cc:381-393): the seen
+        #    state written for round r+1 drops signs whose LATEST crawl
+        #    round is exactly (r+1) - ttl — computed from the partition-
+        #    pruned linkbase deltas in (exp_round, r-1] plus this round's
+        #    fetches, so the anti-join spans at most ttl deltas.
+        deletes = None
+        ttl = self.spec.recrawl_ttl_rounds
+        if ttl is not None and r + 1 - ttl >= 0:
+            exp_round = r + 1 - ttl
+            lb_all = self.spark.read.parquet(
+                os.path.join(self.ckpt, "linkbase")
+            )
+            expiring = lb_all.filter(F.col("round") == exp_round).select(
+                "url", "host"
+            )
+            later = (
+                lb_all.filter(
+                    (F.col("round") > exp_round) & (F.col("round") < r)
+                ).select("url")
+                .unionByName(fetched.select("url"))
+            )
+            expired = expiring.join(later.distinct(), "url", "left_anti")
+            deletes = self._seen_keys(expired)
+        if deletes is not None:
+            new_seen = self.bloom.update(
+                admitted.select("bucket", "sign"), seen_state,
+                deletes=deletes,
+            )
+        else:
+            new_seen = self.bloom.update(
+                admitted.select("bucket", "sign"), seen_state
+            )
         new_host_state = pol.update_host_state(
             host_state, fetched.select("host", "success"),
             self.spec.politeness, r,

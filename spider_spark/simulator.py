@@ -112,6 +112,9 @@ class SimSpec:
     # host → ip dim and ip → budget; ips without a budget are uncapped
     host_ips: dict[str, str] = field(default_factory=dict)
     ip_budgets: dict[str, int] = field(default_factory=dict)
+    # twin of RoundSpec.recrawl_ttl_rounds: a url whose latest crawl is
+    # exactly ttl rounds old leaves the seen set (re-admit on rediscovery)
+    recrawl_ttl_rounds: int | None = None
 
 
 def is_vip(url: str, from_seed: bool) -> bool:
@@ -165,12 +168,20 @@ def simulate(
 
     add(prepare([(u, 0, None) for u in seeds], from_seed=True))
     seen: set[str] = set()
+    crawled_round: dict[str, int] = {}  # url → latest crawl round (TTL)
     consec: dict[str, int] = {}
     holdon_until: dict[str, int] = {}
     dropped: set[str] = set()
     rounds: list[list[str]] = []
 
     for r in range(spec.max_rounds):
+        # recrawl TTL (scheduler.cc:381-393 twin): urls whose latest crawl
+        # is exactly ttl rounds old leave the seen set before this round's
+        # dedupe — rediscovered copies then re-admit
+        if spec.recrawl_ttl_rounds is not None:
+            for u, rr in crawled_round.items():
+                if rr == r - spec.recrawl_ttl_rounds:
+                    seen.discard(u)
         # dedupe vs seen — VIP rows bypass the seen-drop (J4 override)
         for u in [u for u in frontier if u in seen and not frontier[u][2]]:
             del frontier[u]
@@ -215,6 +226,7 @@ def simulate(
         host_fail: dict[str, int] = {}
         for url, host, depth in admitted:
             seen.add(url)
+            crawled_round[url] = r
             del frontier[url]
             if url in adjacency:
                 host_success[host] = True
@@ -233,13 +245,15 @@ def simulate(
                     dropped.add(host)
 
         # new candidates: just-admitted urls are excluded (the engine's
-        # anti-join vs this round's admitted set); other seen urls survive
-        # only as VIP — non-vip seen rows would be dropped at next round's
-        # probe anyway, so pruning them here is observationally identical
+        # anti-join vs this round's admitted set). Seen urls stay in the
+        # frontier for one round and fall to next round's seen-dedupe —
+        # exactly the engine's probe timing, which matters under TTL
+        # expiry (a url rediscovered the round before it expires must
+        # re-admit in both twins).
         batch = {u for u, _, _ in admitted}
         add([
             x for x in prepare(new_raw, from_seed=False)
-            if x[0] not in batch and (x[0] not in seen or x[4])
+            if x[0] not in batch
         ])
         if not frontier and not admitted:
             break

@@ -112,3 +112,47 @@ def test_graph_signal_enrich(spark):
     assert out["http://x.com/b"]["anchors"] is None
     # url absent from the store: NULLs
     assert out["http://x.com/c"]["uv_rank"] is None
+
+
+def test_resolve_md5_round2(spark):
+    """pv_r2 (pv_r2.cc:60-101): compound-key-local md5 resolution — dest
+    unresolved → dropped, ref unresolved → '', set-dedup."""
+    from spider_spark.logs import resolve_md5_round2
+
+    final = spark.createDataFrame(
+        [("u1", 10, "http://a.com/x", "http://a.com/r")],
+        "uid string, ts int, url string, ref_url string",
+    )
+    pending = spark.createDataFrame(
+        [("u1", 10, "m1", "m2"),    # both resolve
+         ("u1", 10, "m1", "m9"),    # ref unresolved → ''
+         ("u1", 10, "m9", "m1"),    # dest unresolved → dropped
+         ("u2", 20, "m1", "m2")],   # m1 not mapped under (u2,20) → dropped
+        "uid string, ts int, url_md5 string, ref_md5 string",
+    )
+    local_map = spark.createDataFrame(
+        [("u1", 10, "m1", "http://a.com/p1"),
+         ("u1", 10, "m2", "http://a.com/p2")],
+        "uid string, ts int, md5 string, url string",
+    )
+    rows = {tuple(r) for r in
+            resolve_md5_round2(final, pending, local_map).collect()}
+    assert rows == {
+        ("u1", 10, "http://a.com/x", "http://a.com/r"),
+        ("u1", 10, "http://a.com/p1", "http://a.com/p2"),
+        ("u1", 10, "http://a.com/p1", ""),
+    }
+
+
+def test_pv_combine_merges_rounds(spark):
+    from spider_spark.logs import pv_combine
+
+    a = spark.createDataFrame([("u1", 2, "x"), ("u2", 1, "y")],
+                              "uid string, ts int, url string")
+    b = spark.createDataFrame([("u1", 1, "z")],
+                              "uid string, ts int, url string")
+    out = pv_combine(a, b)
+    assert out.count() == 3
+    # per-uid rows are ts-ordered within their partition
+    part = out.filter(F.col("uid") == "u1").collect()
+    assert [r["ts"] for r in part] == sorted(r["ts"] for r in part)

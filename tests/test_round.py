@@ -369,3 +369,31 @@ def test_per_ip_cap_matches_simulator(spark, tmp_path_factory):
     ]
     assert max(per_round_ip, default=0) == 3
     assert run.seen_urls() == simout["seen"]
+
+
+def test_recrawl_ttl_matches_simulator(spark, tmp_path_factory):
+    """Batch recrawl TTL (scheduler.cc:381-393): signs older than ttl
+    rounds leave the seen shard, so a rediscovered url re-admits. Ring web
+    + budget 1 → a rolling refresh cycle, twinned by the simulator."""
+    s = "http://r.example.com/p/0"
+    p1, p2, p3 = (f"http://r.example.com/p/{i}" for i in (1, 2, 3))
+    adj = {s: [p1], p1: [p2], p2: [p3], p3: [p1]}
+    docs = _mk_docs(spark, adj)
+    robots = _allow_all_robots(spark, ["r.example.com"])
+    rspec = RoundSpec(
+        n_buckets=4, max_depth=8, max_rounds=7,
+        politeness=PolitenessSpec(qps=1.0, round_seconds=1.0),  # budget 1
+        recrawl_ttl_rounds=3,
+    )
+    ck = str(tmp_path_factory.mktemp("ck_ttl"))
+    _, rounds = _run_engine(spark, docs, robots, ck, rspec, [s])
+
+    simout = sim.simulate(
+        [s], adj, _sim_robots_allow(["r.example.com"]),
+        sim.SimSpec(default_budget=1, max_depth=8, max_rounds=7,
+                    recrawl_ttl_rounds=3),
+    )
+    assert rounds == simout["rounds"]
+    # the TTL must actually bind: p1 crawled at r1 AND again after expiry
+    n_p1 = sum(p1 in r for r in rounds)
+    assert n_p1 >= 2
