@@ -314,19 +314,36 @@ CATEGORY_SPLIT_FOR_CRAWLER = 100  # kSplitLineForCrawler role
 def categorize_url(urls: DataFrame, rules: DataFrame,
                    url_col: str = "url") -> DataFrame:
     """Attach ``category_id`` from the first matching regex rule
-    (broadcast rule dim: pattern, category_id, ordered by rule_order);
-    unmatched URLs get category 0."""
-    r = F.broadcast(rules.orderBy("rule_order"))
-    j = urls.join(
-        r, F.expr(f"{url_col} rlike pattern"), "left"
+    (rule dim: pattern, category_id, rule_order); unmatched URLs get
+    category 0.
+
+    The rule book is a static bounded config file in the reference
+    (uv_data.cc:183-189), so it is collected driver-side and folded into
+    ONE flat array expression: per row, ``array_min`` over
+    (rule_order, category_id) structs of the matching rules — first-match
+    semantics with NO join, NO window, NO shuffle (the previous plan
+    nested-loop-joined then ran a per-url row_number window). array_min
+    skips the NULL structs of non-matching rules; a flat literal array is
+    linear in plan size."""
+    rows = sorted(
+        rules.select("pattern", "category_id", "rule_order").collect(),
+        key=lambda r: r["rule_order"],
     )
-    w = Window.partitionBy(url_col).orderBy(F.asc_nulls_last("rule_order"))
-    return (
-        j.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .withColumn("category_id",
-                    F.coalesce(F.col("category_id"), F.lit(0)))
-        .drop("_rn", "pattern", "rule_order")
+    if not rows:
+        return urls.withColumn("category_id", F.lit(0))
+    structs = [
+        F.when(
+            F.col(url_col).rlike(r["pattern"]),
+            F.struct(
+                F.lit(r["rule_order"]).alias("o"),
+                F.lit(r["category_id"]).alias("c"),
+            ),
+        )
+        for r in rows
+    ]
+    best = F.array_min(F.array(*structs))
+    return urls.withColumn(
+        "category_id", F.coalesce(best["c"], F.lit(0))
     )
 
 

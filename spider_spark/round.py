@@ -41,7 +41,7 @@ from pyspark.sql import types as T
 from . import politeness as pol
 from . import urlkit
 from .seen import BloomShards, BloomSpec
-from .spans import extract_outlinks
+from .spans import extract_outlink_arrays
 
 FRONTIER_SCHEMA = T.StructType(
     [
@@ -160,8 +160,12 @@ class CrawlRun:
         # cached adjacency would inherit that ceiling (measured 2-3x
         # scaling loss) — spread to the session's full parallelism
         n_part = spark.sparkContext.defaultParallelism * 2
+        # PACKED adjacency: one row per page with its outlink array — the
+        # per-round join probes ~links_per_page× fewer rows and the edge
+        # explode runs only on the matched (fetched) pages
         self.adjacency = (
-            extract_outlinks(docs).repartition(n_part, "doc_id").persist()
+            extract_outlink_arrays(docs).repartition(n_part, "doc_id")
+            .persist()
         )
         self.doc_urls = (
             docs.select(F.col("doc_id").alias("url"))
@@ -178,7 +182,7 @@ class CrawlRun:
         mr_selector_r1_reducer.cc:62-108)."""
         from .selector import is_vip
 
-        c = urls.withColumn("url", urlkit.canonicalize_url(F.col("url")))
+        c = urlkit.canonicalize_urls_df(urls, "url")
         c = c.filter(F.col("url").isNotNull())
         c = c.withColumn("vip", is_vip(F.lit(from_code), F.col("url")))
         # post-UDF the url is a plain attribute; host/path/query are single
@@ -399,25 +403,23 @@ class CrawlRun:
         ).withColumn("success", F.coalesce(F.col("exists"), F.lit(False))
         ).drop("exists").cache()
 
-        # 4. outlink extraction from fetched pages (E1-E3 over spans)
-        new_links = (
+        # 4. outlink extraction from fetched pages (E1-E3 over spans).
+        #    Parent depth rides the SAME join — one pass over the packed
+        #    adjacency, edges exploded only for the matched pages.
+        new_raw = (
             fetched.filter(F.col("success"))
-            .select(F.col("url").alias("referer_url"))
+            .select(F.col("url").alias("referer_url"),
+                    F.col("depth").alias("pdepth"))
             .join(
                 self.adjacency,
                 F.col("referer_url") == F.col("doc_id"),
                 "inner",
             )
             .select(
-                F.col("outlink").alias("url"),
+                F.explode("outlinks").alias("url"),
+                (F.col("pdepth") + 1).alias("depth"),
                 F.col("referer_url").alias("referer"),
             )
-        )
-        parent_depth = fetched.select(
-            F.col("url").alias("referer"), F.col("depth").alias("pdepth")
-        )
-        new_raw = new_links.join(parent_depth, "referer", "inner").select(
-            "url", (F.col("pdepth") + 1).alias("depth"), "referer"
         )
         # pre-UDF dedupe: many pages link to the same targets, so collapse
         # raw outlinks (min depth / min referer — same rule the frontier
@@ -436,9 +438,14 @@ class CrawlRun:
             .unionByName(new_cand)
             .join(admitted.select("url"), "url", "left_anti")
         )
+        # merge keyed on url ALONE (host is a pure function of the url, so
+        # min(host) is exact): the groupBy's hash key then matches the
+        # anti-join's, and Catalyst reuses the exchange instead of
+        # shuffling the frontier a second time
         nxt = (
-            nxt.groupBy("url", "host")
-            .agg(F.min("depth").alias("depth"),
+            nxt.groupBy("url")
+            .agg(F.min("host").alias("host"),
+                 F.min("depth").alias("depth"),
                  F.min("referer").alias("referer"),
                  F.max("vip").alias("vip"))
         )

@@ -223,6 +223,27 @@ def validate_spans(docs: DataFrame) -> DataFrame:
     return docs.withColumn("spans_valid", offsets_ok & kinds_ok & (n > 0))
 
 
+def extract_outlink_arrays(docs: DataFrame,
+                           kinds: tuple[str, ...] = ("anchor",)) -> DataFrame:
+    """Per-page outlinks in PACKED form: (doc_id, outlinks array<string>),
+    per-page sorted+deduped map-side (A9, text_handler.cc:133-136).
+
+    This is the form :class:`round.CrawlRun` persists as its adjacency —
+    one row per page instead of one per edge (~links_per_page× fewer rows),
+    so the per-round join probes the page table and explodes only the
+    matched rows AFTER the join. On the per-stage profile this was the
+    round's whale: scanning the exploded 10^1.2 edge list per round cost
+    more task-time than everything else combined."""
+    refs = F.filter(
+        "spans",
+        lambda s: s["kind"].isin(*kinds) & (s["media_ref"] != ""),
+    )
+    links = F.array_distinct(
+        F.array_sort(F.transform(refs, lambda s: s["media_ref"]))
+    )
+    return docs.select(F.col("doc_id"), links.alias("outlinks"))
+
+
 def extract_outlinks(docs: DataFrame, kinds: tuple[str, ...] = ("anchor",)) -> DataFrame:
     """Per-page outlink extraction, span-native path (E3,
     crawler2/general_crawler/extractor.cc:202-281).
@@ -231,15 +252,8 @@ def extract_outlinks(docs: DataFrame, kinds: tuple[str, ...] = ("anchor",)) -> D
     sort+unique (A9, text_handler.cc:133-136) *before* the explode so the
     dedup is map-side — no shuffle. Output: (doc_id, outlink).
     """
-    refs = F.filter(
-        "spans",
-        lambda s: s["kind"].isin(*kinds) & (s["media_ref"] != ""),
-    )
-    links = F.array_distinct(
-        F.array_sort(F.transform(refs, lambda s: s["media_ref"]))
-    )
-    return docs.select(
-        F.col("doc_id"), F.explode(links).alias("outlink")
+    return extract_outlink_arrays(docs, kinds).select(
+        F.col("doc_id"), F.explode("outlinks").alias("outlink")
     )
 
 

@@ -126,21 +126,29 @@ def stateful_host_budget_stream(stream: DataFrame, total_cap: int,
     ])
 
     def fn(key, pdf_iter, state):
-        host = key[0]
-        admitted = state.get[0] if state.exists else 0
-        rows = {host_col: [], url_col: [], "n_admitted_so_far": []}
-        for pdf in pdf_iter:
-            for u in sorted(pdf[url_col]):
-                if admitted >= total_cap:
-                    break
-                admitted += 1
-                rows[host_col].append(host)
-                rows[url_col].append(u)
-                rows["n_admitted_so_far"].append(admitted)
-        state.update((admitted,))
+        import numpy as np
         import pandas as pd
 
-        yield pd.DataFrame(rows)
+        host = key[0]
+        admitted = state.get[0] if state.exists else 0
+        outs = []
+        for pdf in pdf_iter:
+            room = total_cap - admitted
+            if room <= 0:
+                continue
+            # vectorized head: sort the Arrow batch once, slice the room
+            take = np.sort(pdf[url_col].to_numpy())[:room]
+            outs.append(pd.DataFrame({
+                host_col: host,
+                url_col: take,
+                "n_admitted_so_far": np.arange(
+                    admitted + 1, admitted + len(take) + 1, dtype=np.int32
+                ),
+            }))
+            admitted += len(take)
+        state.update((admitted,))
+        if outs:
+            yield pd.concat(outs, ignore_index=True)
 
     return (
         stream.groupBy(host_col)

@@ -100,6 +100,42 @@ def canonicalize_url(url: Column) -> Column:
     return _canonicalize_udf(url)
 
 
+# A url matching this is PROVABLY a fixpoint of the canonicalizer: lowercase
+# http(s) scheme, lowercase dotted host with no userinfo and no port, a '/'
+# path with no fragment/whitespace, and either no query or a non-empty one.
+# (Ports are excluded entirely — port normalization has too many cases to
+# prove in one regex — so ported urls just take the slow path.)
+FAST_CANON_RE = (
+    r"^https?://[a-z0-9_-]+(\.[a-z0-9_-]+)*/[^#?\s]*(\?[^#\s]+)?$"
+)
+
+
+def is_canonical(url: Column) -> Column:
+    """True ⇒ canonicalize_url(url) == url (sufficient, not necessary)."""
+    return url.rlike(FAST_CANON_RE) & (F.length(url) <= MAX_URL_LEN)
+
+
+def canonicalize_urls_df(df, url_col: str = "url"):
+    """DataFrame-level canonicalizer with a JVM fast path.
+
+    Python UDFs inside a WHEN branch are pulled out and evaluated
+    unconditionally, so the split has to happen at the DataFrame level:
+    rows already in canonical form (the overwhelming majority of crawl
+    outlinks — they come out of urljoin against canonical page urls)
+    short-circuit on one JVM regex; only the messy minority crosses the
+    Arrow boundary into the pandas kernel. Cuts the python-worker demand
+    of the crawl round's biggest stage by ~an order of magnitude, which
+    is also what the stage's core-scaling needs (each python stage pairs
+    a JVM task thread WITH a python worker process).
+    """
+    fast = is_canonical(F.col(url_col))
+    a = df.filter(fast)
+    b = df.filter(~fast).withColumn(
+        url_col, _canonicalize_udf(F.col(url_col))
+    )
+    return a.unionByName(b)
+
+
 def url_host(url: Column) -> Column:
     """Lowercased host (no port) of a canonical url."""
     return F.lower(

@@ -110,3 +110,43 @@ def test_rule_filter_twins_agree_fuzz(spark):
     }
     for u in set(cases):
         assert (u in kept) == rule_filter(u), f"rule twin mismatch on {u!r}"
+
+
+def test_fast_path_df_canonicalizer_agrees(spark):
+    """canonicalize_urls_df's JVM fast path must be a strict fixpoint
+    subset: for every fuzz input, the DF path's output set equals applying
+    py_canon row-wise (slow-path parity), and every fast-path survivor is
+    a fixpoint."""
+    from pyspark.sql import functions as F
+
+    from spider_spark import urlkit
+
+    cases: list[str] = []
+
+    @settings(max_examples=300, deadline=None, derandomize=True)
+    @given(urlish())
+    def collect(u):
+        cases.append(u)
+
+    collect()
+    # add canonical-looking urls that exercise the fast path + near misses
+    cases += [
+        "http://a.example.com/",
+        "http://a.example.com/p/1?x=1",
+        "https://b-c.example.com/deep/path",
+        "http://a.example.com/p/1?",          # empty query → slow
+        "HTTP://a.example.com/p",             # uppercase scheme → slow
+        "http://a.example.com:8080/p",        # port → slow
+        "http://user@a.example.com/p",        # userinfo → slow
+        "http://a.example.com/p#frag",        # fragment → slow
+        "http://a.example.com/p%2",           # stray % in path (kept)
+        "http://a.example.com/CaseKept/Q",    # path case preserved
+    ]
+    df = spark.createDataFrame([(u,) for u in set(cases)], "url string")
+    out = {
+        r["url"]
+        for r in urlkit.canonicalize_urls_df(df, "url")
+        .filter(F.col("url").isNotNull()).collect()
+    }
+    want = {c for c in (py_canon(u) for u in set(cases)) if c is not None}
+    assert out == want
