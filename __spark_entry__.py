@@ -507,6 +507,111 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out = sel.attach_ip(urls, dns)
         return out.groupBy("host", "ip").agg(F.count("*").alias("n"))
 
+    def md5_resolve(spark, sf):
+        """J5 (pv_r1.cc:42-337): md5→url literal resolution with a GLOBAL
+        dictionary, conflicting map rows latest-timestamp-wins."""
+        ev = _t(spark, sf, "events")
+        pv = ev.filter(F.col("event_id") % 2 == 0).select(
+            F.col("event_id"),
+            F.concat(F.lit("m"), (F.col("event_id") % 9).cast("string"))
+            .alias("url_md5"),
+            F.concat(F.lit("m"), (F.col("event_id") % 13).cast("string"))
+            .alias("ref_md5"),
+        )
+        md5_map = ev.filter(F.col("event_id") % 2 == 1).select(
+            F.concat(F.lit("m"), (F.col("event_id") % 11).cast("string"))
+            .alias("md5"),
+            F.concat(F.lit("http://m.example.com/"),
+                     (F.col("event_id") % 40).cast("string")).alias("url"),
+            (F.col("event_id") % 1000).alias("ts"),
+        )
+        out = logs.resolve_md5_urls(pv, md5_map)
+        return out.select("event_id", "url_md5", "ref_md5",
+                          "url_literal", "ref_literal")
+
+    def search_clicks(spark, sf):
+        """J6 (search_pv_clk.cc:20-56): search↔pv click join on (uid, url),
+        ads (rank > 10) dropped before the join."""
+        ev = _t(spark, sf, "events")
+        search = ev.filter(F.col("event_id") % 3 == 0).select(
+            F.col("user_id").alias("uid"),
+            F.concat(F.lit("http://s.example.com/r/"),
+                     (F.col("user_id") % 60).cast("string")).alias("url"),
+            (F.col("event_id") % 15 + 1).cast("int").alias("rank"),
+            F.concat(F.lit("q"), (F.col("event_id") % 7).cast("string"))
+            .alias("query"),
+        )
+        pv = ev.filter(F.col("event_id") % 3 == 1).select(
+            F.col("user_id").alias("uid"),
+            F.concat(F.lit("http://s.example.com/r/"),
+                     (F.col("user_id") % 60).cast("string")).alias("url"),
+            F.round("value", 4).alias("dwell"),
+        )
+        out = logs.search_click_join(search, pv)
+        return out.groupBy("query", "rank").agg(
+            F.count("*").alias("n_clicks"),
+            F.round(F.sum("dwell"), 4).alias("total_dwell"),
+        )
+
+    def search_pages(spark, sf):
+        """P10 (crawler_selector_util.h:36-63): search-result page number;
+        keep pages 1-3 only."""
+        from spider_spark import selector as sel
+
+        ev = _t(spark, sf, "events")
+        hostpick = (
+            F.when(F.col("event_id") % 3 == 0, "www.baidu.com")
+            .when(F.col("event_id") % 3 == 1, "www.sogou.com")
+            .otherwise("www.example.com")
+        )
+        q = F.concat(F.lit("wd=x&"),
+                     F.when(F.col("event_id") % 3 == 0, F.lit("pn=")).otherwise(F.lit("page=")),
+                     ((F.col("event_id") % 8) * 10).cast("string"))
+        urls = ev.select("event_id", hostpick.alias("host"), q.alias("query"))
+        kept = sel.keep_first_n_search_pages(urls, n=3)
+        return kept.select("event_id", "host")
+
+    def url_categories(spark, sf):
+        """P8 (uv_data.cc:183-189): first-matching-rule category id from an
+        ordered regex rule book; unmatched → 0."""
+        from spider_spark import politeness as pol
+
+        p = _t(spark, sf, "part")
+        urls = p.select(
+            "p_partkey",
+            F.concat(
+                F.lit("http://c.example.com/"),
+                F.when(F.col("p_partkey") % 4 == 0, "list/")
+                .when(F.col("p_partkey") % 4 == 1, "item/")
+                .otherwise("page/"),
+                F.col("p_partkey").cast("string"),
+            ).alias("url"),
+        )
+        rules = spark.createDataFrame(
+            [("/list/", 200, 1), ("/item/", 150, 2), ("/page/", 50, 3),
+             ("example", 10, 4)],
+            "pattern string, category_id int, rule_order int",
+        )
+        return pol.categorize_url(urls, rules).select(
+            "p_partkey", "url", "category_id"
+        )
+
+    def updater_recrawl(spark, sf):
+        """U5 (mr_updater_mapper.cc:40-75): latest record per url; recrawl
+        tasks for pages older than max_age (headerless path — header-date
+        parsing covered by pytest)."""
+        from spider_spark import selector as sel
+
+        ev = _t(spark, sf, "events")
+        lb = ev.select(
+            F.concat(F.lit("http://u.example.com/p/"),
+                     (F.col("event_id") % 300).cast("string")).alias("url"),
+            F.lit("").alias("http_header"),
+            (F.col("event_id") % 500).cast("long").alias("last_fetch_ts"),
+        )
+        out = sel.updater_candidates(lb, now_ts=10_000, max_age_s=9_550)
+        return out.select("url", "from", "age_s")
+
     def pv_round2(spark, sf):
         """pv_r2 (pv_r2.cc:19-101): compound-key (uid, ts) local md5
         resolution — unresolved dest dropped, unresolved ref → '', then
@@ -666,6 +771,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_transforms": url_transforms,
         "eval_success": eval_success,
         "ip_attach": ip_attach,
+        "md5_resolve": md5_resolve,
+        "search_clicks": search_clicks,
+        "search_pages": search_pages,
+        "url_categories": url_categories,
+        "updater_recrawl": updater_recrawl,
         "pv_round2": pv_round2,
         "graph_enrich": graph_enrich,
         "simhash_assign": simhash_assign,
@@ -982,6 +1092,87 @@ def oracle_sql() -> dict[str, str]:
             SELECT decile, COUNT(*) AS n,
                    ROUND(AVG(ok), 6) AS success_rate
             FROM j GROUP BY 1
+        """,
+        "md5_resolve": """
+            WITH pv AS (
+              SELECT event_id,
+                     'm' || (event_id % 9) AS url_md5,
+                     'm' || (event_id % 13) AS ref_md5
+              FROM events WHERE event_id % 2 = 0),
+            m AS (
+              SELECT md5, url FROM (
+                SELECT 'm' || (event_id % 11) AS md5,
+                       'http://m.example.com/' || (event_id % 40) AS url,
+                       event_id % 1000 AS ts,
+                       ROW_NUMBER() OVER (
+                         PARTITION BY 'm' || (event_id % 11)
+                         ORDER BY event_id % 1000 DESC,
+                                  'http://m.example.com/' || (event_id % 40) DESC
+                       ) AS rn
+                FROM events WHERE event_id % 2 = 1)
+              WHERE rn = 1)
+            SELECT pv.event_id, pv.url_md5, pv.ref_md5,
+                   mu.url AS url_literal, mr.url AS ref_literal
+            FROM pv
+            LEFT JOIN m mu ON pv.url_md5 = mu.md5
+            LEFT JOIN m mr ON pv.ref_md5 = mr.md5
+        """,
+        "search_clicks": """
+            WITH search AS (
+              SELECT user_id AS uid,
+                     'http://s.example.com/r/' || (user_id % 60) AS url,
+                     CAST(event_id % 15 + 1 AS INT) AS rank,
+                     'q' || (event_id % 7) AS query
+              FROM events WHERE event_id % 3 = 0),
+            pv AS (
+              SELECT user_id AS uid,
+                     'http://s.example.com/r/' || (user_id % 60) AS url,
+                     ROUND(value, 4) AS dwell
+              FROM events WHERE event_id % 3 = 1)
+            SELECT query, rank, COUNT(*) AS n_clicks,
+                   ROUND(SUM(dwell), 4) AS total_dwell
+            FROM search JOIN pv USING (uid, url)
+            WHERE rank <= 10
+            GROUP BY 1, 2
+        """,
+        "search_pages": """
+            SELECT event_id,
+                   CASE WHEN event_id % 3 = 0 THEN 'www.baidu.com'
+                        WHEN event_id % 3 = 1 THEN 'www.sogou.com'
+                        ELSE 'www.example.com' END AS host
+            FROM events
+            WHERE CASE
+                    WHEN event_id % 3 = 0
+                      THEN ((event_id % 8) * 10) / 10 + 1 <= 3
+                    WHEN event_id % 3 = 1
+                      THEN (event_id % 8) * 10 <= 3
+                    ELSE TRUE
+                  END
+        """,
+        "url_categories": """
+            WITH u AS (
+              SELECT p_partkey,
+                     'http://c.example.com/'
+                       || (CASE WHEN p_partkey % 4 = 0 THEN 'list/'
+                                WHEN p_partkey % 4 = 1 THEN 'item/'
+                                ELSE 'page/' END)
+                       || p_partkey AS url
+              FROM part)
+            SELECT p_partkey, url,
+                   CASE WHEN url LIKE '%/list/%' THEN 200
+                        WHEN url LIKE '%/item/%' THEN 150
+                        WHEN url LIKE '%/page/%' THEN 50
+                        WHEN url LIKE '%example%' THEN 10
+                        ELSE 0 END AS category_id
+            FROM u
+        """,
+        "updater_recrawl": """
+            SELECT url, 'M' AS "from",
+                   10000 - mx AS age_s
+            FROM (SELECT 'http://u.example.com/p/' || (event_id % 300) AS url,
+                         MAX(event_id % 500) AS mx
+                  FROM events GROUP BY 1)
+            WHERE 10000 - mx >= 9550
         """,
         "pv_round2": """
             WITH final AS (
