@@ -501,13 +501,24 @@ class CrawlRun:
         admitted_n = fetched.count()  # materializes adm + fetched caches
 
         obs_next = Observation(f"frontier_next_r{r}")
+        obs_host = Observation(f"hosts_r{r}")
+        obs_lb = Observation(f"lb_r{r}")
         writes = [
             lambda: self._write(
                 nxt.observe(obs_next, F.count(F.lit(1)).alias("n")),
                 r + 1, "frontier"),
             lambda: self._write(new_seen, r + 1, "seen_state"),
-            lambda: self._write(new_host_state, r + 1, "host_state"),
-            lambda: self._write_linkbase_delta(lb_add, r),
+            lambda: self._write(
+                new_host_state.observe(
+                    obs_host, F.count(F.lit(1)).alias("n")),
+                r + 1, "host_state"),
+            lambda: self._write_linkbase_delta(
+                lb_add.observe(
+                    obs_lb,
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum(F.when(F.col("success"), 1).otherwise(0))
+                    .alias("ok"),
+                ), r),
         ]
         with ThreadPoolExecutor(max_workers=4) as pool:
             futures = [pool.submit(w) for w in writes]
@@ -520,13 +531,22 @@ class CrawlRun:
             )
         else:
             admitted_urls = []
+        # lineage metrics ride the write jobs (zero extra actions):
+        # commit marker records what each state table received this round
         metrics = {
             "admitted": admitted_n,
             "frontier_next": obs_next.get["n"],
+            "hosts_tracked": obs_host.get["n"],
+            "linkbase_delta_rows": obs_lb.get["n"],
+            "fetch_ok": int(obs_lb.get["ok"] or 0),
         }
         adm.unpersist()
         fetched.unpersist()
-        self._manifest(r + 1, {"metrics": metrics})
+        self._manifest(
+            r + 1,
+            {"metrics": metrics, "parent_round": r,
+             "spec": self._spec_fingerprint()},
+        )
         return {"round": r, "admitted_urls": admitted_urls, **metrics}
 
     def run(self, seeds: DataFrame, resume: bool = False) -> list[dict]:

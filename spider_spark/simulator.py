@@ -261,4 +261,8 @@ def simulate(
     # strip trailing empty rounds (clock ticks with no admissions)
     while rounds and not rounds[-1]:
         rounds.pop()
-    return {"rounds": rounds, "seen": sorted(seen)}
+    # "seen" = the live dedup state (TTL expiry removes entries);
+    # "crawled" = everything ever fetched (the linkbase's url set) —
+    # identical unless recrawl_ttl_rounds is set
+    return {"rounds": rounds, "seen": sorted(seen),
+            "crawled": sorted(crawled_round)}

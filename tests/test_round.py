@@ -397,3 +397,49 @@ def test_recrawl_ttl_matches_simulator(spark, tmp_path_factory):
     # the TTL must actually bind: p1 crawled at r1 AND again after expiry
     n_p1 = sum(p1 in r for r in rounds)
     assert n_p1 >= 2
+
+
+def test_ttl_resume_and_manifest_lineage(spark, tmp_path_factory):
+    """A TTL crawl interrupted and resumed by a fresh driver reaches the
+    same seen set as the uninterrupted twin; every committed manifest
+    carries lineage metrics + the state-layout spec."""
+    import json
+    import os
+
+    s = "http://r2.example.com/p/0"
+    p1, p2, p3 = (f"http://r2.example.com/p/{i}" for i in (1, 2, 3))
+    adj = {s: [p1], p1: [p2], p2: [p3], p3: [p1]}
+    docs = _mk_docs(spark, adj)
+    robots = _allow_all_robots(spark, ["r2.example.com"])
+
+    def spec(max_rounds):
+        return RoundSpec(
+            n_buckets=4, max_depth=8, max_rounds=max_rounds,
+            politeness=PolitenessSpec(qps=1.0, round_seconds=1.0),
+            recrawl_ttl_rounds=3,
+        )
+
+    ck = str(tmp_path_factory.mktemp("ck_ttl_resume"))
+    seeds_df = spark.createDataFrame([(s,)], "url string")
+    CrawlRun(spark, docs, robots, ck, spec(3)).run(seeds_df)
+    run2 = CrawlRun(spark, docs, robots, ck, spec(7))
+    run2.run(seeds_df, resume=True)
+
+    simout = sim.simulate(
+        [s], adj, _sim_robots_allow(["r2.example.com"]),
+        sim.SimSpec(default_budget=1, max_depth=8, max_rounds=7,
+                    recrawl_ttl_rounds=3),
+    )
+    # under TTL the linkbase holds everything EVER crawled, while the live
+    # dedup state drops expired entries — compare against the former
+    assert run2.seen_urls() == simout["crawled"]
+
+    last = run2.last_committed_round()
+    assert last is not None and last >= 4
+    with open(os.path.join(ck, f"round={last:04d}", "manifest.json")) as f:
+        m = json.load(f)
+    assert m["parent_round"] == last - 1
+    assert m["spec"]["seen_mode"] == "sign" and m["spec"]["fused"] is True
+    for k in ("admitted", "frontier_next", "hosts_tracked",
+              "linkbase_delta_rows", "fetch_ok"):
+        assert k in m["metrics"], m
