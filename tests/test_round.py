@@ -443,3 +443,67 @@ def test_ttl_resume_and_manifest_lineage(spark, tmp_path_factory):
     for k in ("admitted", "frontier_next", "hosts_tracked",
               "linkbase_delta_rows", "fetch_ok"):
         assert k in m["metrics"], m
+
+
+def test_kitchen_sink_composition_matches_simulator(spark, tmp_path_factory):
+    """ALL round-2 features at once — VIP homepages, uv signals, per-host
+    budget dim, failures/holdon, shared-ip cap, recrawl TTL — composed in
+    one crawl, matched round-for-round against the simulator."""
+    hosts = [f"h{i}.example.com" for i in range(4)]
+    home = {h: f"http://{h}/" for h in hosts}
+    page = {(h, k): f"http://{h}/p/{k}" for h in hosts for k in range(5)}
+    adj = {}
+    for h in hosts:
+        adj[home[h]] = [page[(h, k)] for k in range(5)]
+        for k in range(5):
+            nxt_host = hosts[(hosts.index(h) + 1) % 4]
+            adj[page[(h, k)]] = [home[nxt_host], page[(nxt_host, k)]]
+    # h3's pages 3,4 do not exist → failures; seed each homepage
+    for k in (3, 4):
+        del adj[page[("h3.example.com", k)]]
+    seeds = [home[h] for h in hosts[:2]] + [page[("h2.example.com", 0)]]
+    uv = {page[("h0.example.com", 4)]: 40.0, page[("h1.example.com", 2)]: 25.0}
+    budgets_rows = [("h0.example.com", 3), ("h3.example.com", 1)]
+    host_ips = {"h0.example.com": "10.1.1.1", "h1.example.com": "10.1.1.1",
+                "h2.example.com": "10.2.2.2", "h3.example.com": "10.3.3.3"}
+    ip_budgets = {"10.1.1.1": 4}
+
+    docs = _mk_docs(spark, adj)
+    robots = _allow_all_robots(spark, hosts)
+    rspec = RoundSpec(
+        n_buckets=4, max_depth=6, max_rounds=9,
+        politeness=PolitenessSpec(qps=1.0, round_seconds=2.0,  # budget 2
+                                  holdon_failures=2, holdon_rounds=2),
+        recrawl_ttl_rounds=4,
+    )
+    ck = str(tmp_path_factory.mktemp("ck_sink"))
+    run = CrawlRun(
+        spark, docs, robots, ck, rspec,
+        budgets=spark.createDataFrame(budgets_rows, "host string, budget int"),
+        signals=spark.createDataFrame(list(uv.items()), "url string, uv double"),
+        host_ips=spark.createDataFrame(list(host_ips.items()), "host string, ip string"),
+        ip_budgets=spark.createDataFrame(list(ip_budgets.items()), "ip string, budget int"),
+    )
+    res = run.run(spark.createDataFrame([(u,) for u in seeds], "url string"))
+    rounds = [r["admitted_urls"] for r in res]
+    while rounds and not rounds[-1]:
+        rounds.pop()
+
+    simout = sim.simulate(
+        seeds, adj, _sim_robots_allow(hosts),
+        sim.SimSpec(default_budget=2, budgets=dict(budgets_rows),
+                    max_depth=6, max_rounds=9,
+                    holdon_failures=2, holdon_rounds=2,
+                    signals=uv, host_ips=host_ips, ip_budgets=ip_budgets,
+                    recrawl_ttl_rounds=4),
+    )
+    assert rounds == simout["rounds"]
+    assert run.seen_urls() == simout["crawled"]
+    # the composition must actually exercise the features:
+    flat = [u for r in rounds for u in r]
+    assert any(flat.count(home[h]) >= 2 for h in hosts)  # vip/ttl refresh
+    per_round_shared_ip = [
+        sum(u.startswith(("http://h0.", "http://h1.")) for u in r)
+        for r in rounds
+    ]
+    assert max(per_round_shared_ip) <= 4  # ip cap binds (host budgets sum 5)
