@@ -106,9 +106,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def status_barrier(spark, sf):
         """A2 (uv_data.cc:437-541): success cancels recrawl; failures
-        retry with try+1, dropped at 3."""
+        retry with try+1, dropped at 3. Barrier unit = (user, day): at the
+        coarser per-user grain every sf0.01 user has a success, so the
+        query returned 0 rows — a vacuous oracle (VERDICT r1)."""
         ev = _t(spark, sf, "events")
-        agg = ev.groupBy("user_id").agg(
+        agg = ev.groupBy(
+            "user_id", F.col("ts").cast("date").cast("string").alias("day")
+        ).agg(
             F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
             .alias("n_err"),
             F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
@@ -116,7 +120,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return (
             agg.filter((F.col("ok") == 0) & (F.col("n_err") < 3))
-            .select("user_id",
+            .select("user_id", "day",
                     (F.col("n_err") + 1).cast("long").alias("try_times"))
         )
 
@@ -849,11 +853,11 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY 1 HAVING COUNT(DISTINCT event_type) >= 4
         """,
         "status_barrier": """
-            SELECT user_id, CAST(n_err + 1 AS BIGINT) AS try_times FROM (
-              SELECT user_id,
+            SELECT user_id, day, CAST(n_err + 1 AS BIGINT) AS try_times FROM (
+              SELECT user_id, CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
                      SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_err,
                      MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS ok
-              FROM events GROUP BY 1)
+              FROM events GROUP BY 1, 2)
             WHERE ok = 0 AND n_err < 3
         """,
         "seen_anti_join": """
