@@ -474,6 +474,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ).alias("url"),
         )
 
+    def site_paginators(spark, sf):
+        """E4 (extractor.cc:440-551, url_util.cc:654-677,1050-1076):
+        per-site next-list-page fan-out; urls synthesized
+        deterministically from part keys (suning append-style on even
+        keys, taobao offset-style on odd)."""
+        from spider_spark import paginators as P
+
+        p = _t(spark, sf, "part")
+        k = F.col("p_partkey").cast("string")
+        src = p.select(
+            F.when(
+                F.col("p_partkey") % 2 == 0,
+                F.concat(F.lit("http://search.suning.com/emall/strd.do?ci="),
+                         k, F.lit("&cityId=9173")),
+            ).otherwise(
+                F.concat(F.lit("http://list.taobao.com/market/p"), k,
+                         F.lit(".htm?cat="), k)
+            ).alias("url"),
+            (F.lit(2) + F.col("p_partkey") % 3).cast("int").alias("page_num"),
+        )
+        return P.build_next_list_pages(src)
+
     def eval_success(spark, sf):
         """A10 (evaluation.h:7-30): top-N crawl success rate by decile."""
         from spider_spark import selector as sel
@@ -773,6 +795,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "proxy_route": proxy_route,
         "ip_load": ip_load,
         "url_transforms": url_transforms,
+        "site_paginators": site_paginators,
         "eval_success": eval_success,
         "ip_attach": ip_attach,
         "md5_resolve": md5_resolve,
@@ -1081,6 +1104,29 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'http://x.com/p/' || p_partkey
                    END AS url
             FROM part
+        """,
+        "site_paginators": """
+            WITH src AS (
+              SELECT CASE WHEN p_partkey % 2 = 0
+                       THEN 'http://search.suning.com/emall/strd.do?ci='
+                            || p_partkey || '&cityId=9173'
+                       ELSE 'http://list.taobao.com/market/p' || p_partkey
+                            || '.htm?cat=' || p_partkey END AS list_url,
+                     CASE WHEN p_partkey % 2 = 0 THEN 'suning'
+                          ELSE 'taobao' END AS site,
+                     2 + p_partkey % 3 AS page_num
+              FROM part
+            ), fan AS (
+              SELECT list_url, site,
+                     UNNEST(generate_series(1, page_num - 1)) AS i
+              FROM src
+            )
+            SELECT list_url, site,
+                   CASE WHEN site = 'suning'
+                        THEN list_url || '&cp=' || i
+                             || '&il=0&si=5&st=14&iy=-1'
+                        ELSE list_url || '&s=' || (96 * i) END AS next_url
+            FROM fan
         """,
         "eval_success": """
             WITH topn AS (
