@@ -21,7 +21,7 @@ import hashlib
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import ArrayType, LongType
@@ -77,15 +77,16 @@ def _shingle_hashes(text: str, n: int) -> np.ndarray:
         grams = [" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)]
     if not grams:
         return np.zeros(0, dtype=np.uint64)
+    uniq = set(grams)
     return np.fromiter(
         (
             int.from_bytes(
                 hashlib.blake2b(g.encode("utf-8", "ignore"),
                                 digest_size=8).digest(), "big")
-            for g in set(grams)
+            for g in uniq
         ),
         dtype=np.uint64,
-        count=len(set(grams)),
+        count=len(uniq),
     )
 
 
@@ -121,6 +122,13 @@ def lsh_candidates(docs: DataFrame, id_col: str = "doc_id",
     of k/bands; docs sharing any band bucket become candidates.
     Returns distinct (a, b)."""
     rows = k // bands
+    spark = docs.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par:
+        # a few big input files would serialize the Arrow UDF onto a few
+        # tasks; the 5000-row shuffle is far cheaper than an idle cluster.
+        # No-op at scale, where the scan already has >= par partitions.
+        docs = docs.repartition(par)
     mh = make_minhash_udf(k, shingle, seed)
     sig = docs.select(F.col(id_col).alias("id"),
                       mh(F.col(text_col)).alias("sig"))
@@ -139,11 +147,25 @@ def lsh_candidates(docs: DataFrame, id_col: str = "doc_id",
             ])
         ).alias("bk"),
     ).select("id", "bk.band", "bk.bucket")
-    other = banded.withColumnRenamed("id", "id_b")
+    # bucket-local pair expansion instead of a (band, bucket) self-join:
+    # ONE minhash pass and ONE shuffle (a self-join re-evaluates the UDF
+    # subtree on both sides and shuffles both). Within-bucket expansion is
+    # quadratic in bucket size exactly like the join's output would be.
+    pairs = F.filter(
+        F.flatten(F.transform(
+            "ids",
+            lambda x: F.transform(
+                "ids", lambda y: F.struct(x.alias("a"), y.alias("b"))
+            ),
+        )),
+        lambda s: s["a"] < s["b"],
+    )
     return (
-        banded.join(other, ["band", "bucket"])
-        .filter(F.col("id") < F.col("id_b"))
-        .select(F.col("id").alias("a"), F.col("id_b").alias("b"))
+        banded.groupBy("band", "bucket")
+        .agg(F.collect_list("id").alias("ids"))
+        .filter(F.size("ids") >= 2)
+        .select(F.explode(pairs).alias("p"))
+        .select("p.a", "p.b")
         .distinct()
     )
 
@@ -159,30 +181,35 @@ def ngram_jaccard_pairs(docs: DataFrame, candidates: DataFrame,
     verification stage after LSH (and its differential oracle in tests).
     JVM-side: shingles via sequence/transform, intersection/union via
     array functions."""
-    # trim first: split('\\s+') on leading whitespace yields an empty first
-    # token and shifted shingles — inconsistent with the minhash UDF's
-    # str.split() that generated the candidates and the DuckDB oracle
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
-    n_sh = F.greatest(F.size(toks) - (shingle - 1), F.lit(1))
-    grams = F.when(
-        F.length(F.trim(F.col(text_col))) == 0, F.array().cast("array<string>")
-    ).otherwise(
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(0), n_sh - 1),
-                lambda i: F.concat_ws(
-                    " ", F.slice(toks, i + 1, shingle)
-                ),
+    def grams_of(text: Column) -> Column:
+        # trim first: split('\\s+') on leading whitespace yields an empty
+        # first token and shifted shingles — inconsistent with the minhash
+        # UDF's str.split() that generated the candidates and the DuckDB
+        # oracle
+        toks = F.split(F.trim(text), r"\s+")
+        n_sh = F.greatest(F.size(toks) - (shingle - 1), F.lit(1))
+        return F.when(
+            F.length(F.trim(text)) == 0, F.array().cast("array<string>")
+        ).otherwise(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(0), n_sh - 1),
+                    lambda i: F.concat_ws(" ", F.slice(toks, i + 1, shingle)),
+                )
             )
         )
-    )
-    sh = docs.select(F.col(id_col).alias("id"), grams.alias("grams"))
-    a = sh.withColumnRenamed("id", "a").withColumnRenamed("grams", "ga")
-    b = sh.withColumnRenamed("id", "b").withColumnRenamed("grams", "gb")
+
+    # join the (small) candidate set to the raw text FIRST, shingle after:
+    # gram sets are built only for pair rows, not for the whole corpus
+    # twice — at scale candidates << corpus
+    a = docs.select(F.col(id_col).alias("a"), F.col(text_col).alias("_ta"))
+    b = docs.select(F.col(id_col).alias("b"), F.col(text_col).alias("_tb"))
     inter = F.size(F.array_intersect("ga", "gb"))
     union = F.size(F.array_union("ga", "gb"))
     return (
         candidates.join(a, "a").join(b, "b")
+        .withColumn("ga", grams_of(F.col("_ta")))
+        .withColumn("gb", grams_of(F.col("_tb")))
         .select(
             "a", "b",
             (inter / union).alias("jaccard"),
