@@ -32,6 +32,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from .seen import _bucket_spread
+
 
 def fused_probe_admit(candidates: DataFrame, seen_state: DataFrame,
                       host_state: DataFrame, budgets: DataFrame | None,
@@ -99,7 +101,7 @@ def fused_probe_admit(candidates: DataFrame, seen_state: DataFrame,
         return cand_pdf[keep_cols]
 
     return (
-        c.groupBy("bucket")
-        .cogroup(seen_state.groupBy("bucket"))
+        _bucket_spread(c).groupBy("bucket")
+        .cogroup(_bucket_spread(seen_state).groupBy("bucket"))
         .applyInPandas(fn, schema=out_schema)
     )

@@ -80,6 +80,24 @@ def exact_unseen(candidates: DataFrame, seen: DataFrame,
 # Bloom shards
 # --------------------------------------------------------------------------
 
+def _bucket_spread(df: DataFrame) -> DataFrame:
+    """Pin the bucket shuffle feeding a cogrouped Arrow kernel to a fixed
+    partition count (2× cores).
+
+    The kernels are parallel in the BUCKET key, but their inputs are tiny
+    in BYTES (shard blobs + signs) — AQE's partition coalescing sees a few
+    MB and folds the exchange down to ONE partition, serializing every
+    bucket through a single Python worker (measured 5.7 s single-task
+    seen-update per round at bench scale). An explicit
+    ``repartition(n, bucket)`` is REPARTITION_BY_NUM, which AQE must
+    preserve; both cogroup sides use the same n, so no extra exchange is
+    inserted. On a real cluster defaultParallelism tracks executor count,
+    so the spread scales with the fleet.
+    """
+    n = df.sparkSession.sparkContext.defaultParallelism * 2
+    return df.repartition(n, "bucket")
+
+
 STATE_SCHEMA = T.StructType(
     [
         T.StructField("bucket", T.IntegerType(), False),
@@ -170,8 +188,8 @@ class BloomShards:
             return cand_pdf
 
         return (
-            candidates.groupBy("bucket")
-            .cogroup(state.groupBy("bucket"))
+            _bucket_spread(candidates).groupBy("bucket")
+            .cogroup(_bucket_spread(state).groupBy("bucket"))
             .applyInPandas(fn, schema=out_schema)
         )
 
@@ -190,9 +208,9 @@ class BloomShards:
             )
 
         return (
-            admitted.select("bucket", "sign")
+            _bucket_spread(admitted.select("bucket", "sign"))
             .groupBy("bucket")
-            .cogroup(state.groupBy("bucket"))
+            .cogroup(_bucket_spread(state).groupBy("bucket"))
             .applyInPandas(fn, schema=STATE_SCHEMA)
         )
 
@@ -250,8 +268,8 @@ class SignShards:
             return cand_pdf
 
         return (
-            candidates.groupBy("bucket")
-            .cogroup(state.groupBy("bucket"))
+            _bucket_spread(candidates).groupBy("bucket")
+            .cogroup(_bucket_spread(state).groupBy("bucket"))
             .applyInPandas(fn, schema=out_schema)
         )
 
@@ -284,8 +302,8 @@ class SignShards:
             )
 
         return (
-            combined.groupBy("bucket")
-            .cogroup(state.groupBy("bucket"))
+            _bucket_spread(combined).groupBy("bucket")
+            .cogroup(_bucket_spread(state).groupBy("bucket"))
             .applyInPandas(fn, schema=STATE_SCHEMA)
         )
 
@@ -406,8 +424,8 @@ class CuckooShards:
             return cand_pdf
 
         return (
-            candidates.groupBy("bucket")
-            .cogroup(state.groupBy("bucket"))
+            _bucket_spread(candidates).groupBy("bucket")
+            .cogroup(_bucket_spread(state).groupBy("bucket"))
             .applyInPandas(fn, schema=out_schema)
         )
 
@@ -440,8 +458,8 @@ class CuckooShards:
             )
 
         return (
-            combined.groupBy("bucket")
-            .cogroup(state.groupBy("bucket"))
+            _bucket_spread(combined).groupBy("bucket")
+            .cogroup(_bucket_spread(state).groupBy("bucket"))
             .applyInPandas(fn, schema=STATE_SCHEMA)
         )
 
