@@ -266,9 +266,148 @@ class CrawlRun:
         df.write.mode("overwrite").parquet(self._lb_delta_dir(r))
 
     def _linkbase(self, upto_round: int) -> DataFrame:
+        floor = self._compaction_floor()
+        if upto_round < floor:
+            raise ValueError(
+                f"linkbase snapshots below round {floor} were compacted "
+                f"away; cannot time-travel to round {upto_round}"
+            )
         return self.spark.read.parquet(
             os.path.join(self.ckpt, "linkbase")
         ).filter(F.col("round") <= upto_round)
+
+    def _compaction_floor(self) -> int:
+        """Oldest round the linkbase can still serve exactly (-1 = all)."""
+        path = os.path.join(self.ckpt, "linkbase", "_compaction.json")
+        if not os.path.exists(path):
+            return -1
+        with open(path) as f:
+            return json.load(f).get("compacted_through", -1)
+
+    def compact_linkbase(self, through_round: int | None = None,
+                         max_fail: int | None = None) -> dict:
+        """U4 made concrete: batch+delta compaction of the linkbase
+        (mr_combine_batch_delta_reducer.cc:33-100 semantics — per url keep
+        only the record with the LATEST crawl timestamp; with ``max_fail``,
+        purge dead links whose trailing refreshes all failed, the reducer's
+        ``update_fail_cnt >= FLAGS_max_update_failed_num`` rule).
+
+        At 10^10-URL scale the per-round delta list grows without bound —
+        every ``_linkbase`` read unions O(rounds) partitions and re-fetched
+        urls carry one superseded row per refresh. Compaction folds all
+        committed deltas ``0..C`` into per-round partitions that hold only
+        each url's latest record, **partitioned by that latest round**, so
+        every existing reader keeps its exact semantics:
+
+        - ``_linkbase(upto)`` for ``upto >= C``: same url set (dupes only
+          removed — every consumer is url-distinct or latest-wins).
+        - recrawl-TTL (``round == exp_round`` / ``round > exp_round``
+          pruning in :meth:`run_round`): a url now sits exactly in its
+          latest-fetch partition, which is precisely the set the original
+          expiring-minus-later anti-join computed.
+        - time travel below ``C`` is gone by design; the floor is recorded
+          in ``linkbase/_compaction.json`` and ``_linkbase`` fails fast.
+
+        Only COMMITTED deltas compact (delta r commits with manifest r+1;
+        a crash mid-round leaves an uncommitted ``round=R`` dir that must
+        survive untouched for the re-run). The rewrite is staged fully
+        before any delete, so a crash mid-compaction loses no data: either
+        the old dirs are still present, or the staged partitions are
+        complete on disk.
+
+        The dead-link purge (``max_fail``) deletes from the page BASE only
+        — seen shards are independent state, exactly the reference's split
+        (web-db 'D' records vs the crawler's Redis seen set). Trailing
+        failure counting uses a JVM ``aggregate`` over the per-url record
+        array (records-per-url is bounded by rounds, and by ttl when
+        recrawl is on — never web-scale).
+
+        Returns {"compacted_through", "rows_before", "rows_after",
+        "dead_links"}.
+        """
+        import shutil
+
+        last = self.last_committed_round()
+        if last is None:
+            raise ValueError(f"no committed rounds under {self.ckpt}")
+        committed_max = last - 1  # manifest r+1 commits delta r
+        c = committed_max if through_round is None else min(
+            through_round, committed_max
+        )
+        if c < self._compaction_floor():
+            raise ValueError(
+                f"already compacted through {self._compaction_floor()}"
+            )
+        lb_root = os.path.join(self.ckpt, "linkbase")
+        present = [
+            int(d.split("=")[1]) for d in os.listdir(lb_root)
+            if d.startswith("round=")
+        ]
+        targets = sorted(r for r in present if r <= c)
+        if not targets:
+            return {"compacted_through": c, "rows_before": 0,
+                    "rows_after": 0, "dead_links": 0}
+
+        lb = self._linkbase(c)
+        rows_before = lb.count()
+        recs = F.array_sort(
+            F.collect_list(F.struct("round", "host", "depth", "success"))
+        )
+        per_url = lb.groupBy("url").agg(recs.alias("recs"))
+        last_rec = F.element_at("recs", -1)
+        scored = per_url.select(
+            "url",
+            last_rec["host"].alias("host"),
+            last_rec["depth"].alias("depth"),
+            last_rec["success"].alias("success"),
+            last_rec["round"].alias("round"),
+            F.aggregate(
+                "recs", F.lit(0),
+                lambda acc, x: F.when(x["success"], F.lit(0))
+                .otherwise(acc + 1),
+            ).alias("_trailing_fails"),
+        ).persist()
+        dead = (
+            scored.filter(F.col("_trailing_fails") >= max_fail).count()
+            if max_fail is not None else 0
+        )
+        out = scored
+        if max_fail is not None:
+            out = out.filter(F.col("_trailing_fails") < max_fail)
+        out = out.drop("_trailing_fails")
+
+        stage = os.path.join(lb_root, "_compact_staging")
+        if os.path.isdir(stage):
+            shutil.rmtree(stage)
+        from pyspark.sql import Observation
+        obs = Observation("compact_rows")
+        out.observe(obs, F.count(F.lit(1)).alias("n")) \
+            .write.mode("overwrite").partitionBy("round").parquet(stage)
+        rows_after = int(obs.get["n"])
+        scored.unpersist()
+        # stage is complete on disk — now swap (delete old, move new in)
+        for r in targets:
+            shutil.rmtree(self._lb_delta_dir(r))
+        staged = [
+            d for d in os.listdir(stage) if d.startswith("round=")
+        ]
+        for d in staged:
+            os.rename(os.path.join(stage, d), os.path.join(lb_root, d))
+        shutil.rmtree(stage)
+        if not staged and not any(r > c for r in present):
+            # keep the partitioned layout readable (schema-bearing empty
+            # delta, same as bootstrap's seed)
+            self._write_linkbase_delta(
+                self.spark.createDataFrame(
+                    [], "url string, host string, depth int, success boolean"
+                ), 0,
+            )
+        with open(os.path.join(lb_root, "_compaction.json"), "w") as f:
+            json.dump({"compacted_through": c,
+                       "rows_before": rows_before,
+                       "rows_after": rows_after}, f)
+        return {"compacted_through": c, "rows_before": rows_before,
+                "rows_after": rows_after, "dead_links": dead}
 
     def last_committed_round(self) -> int | None:
         if not os.path.isdir(self.ckpt):

@@ -507,3 +507,81 @@ def test_kitchen_sink_composition_matches_simulator(spark, tmp_path_factory):
         for r in rounds
     ]
     assert max(per_round_shared_ip) <= 4  # ip cap binds (host budgets sum 5)
+
+
+def test_linkbase_compaction_preserves_crawl(spark, tmp_path_factory):
+    """U4 (mr_combine_batch_delta_reducer.cc:33-100): compacting committed
+    linkbase deltas mid-crawl (latest-round-wins, partitioned by latest
+    round) must not change the crawl — the resumed run's ordering and
+    final seen set equal the uninterrupted simulator twin, including the
+    TTL expiry path whose partition pruning reads the compacted layout."""
+    s = "http://rc.example.com/p/0"
+    p1, p2, p3 = (f"http://rc.example.com/p/{i}" for i in (1, 2, 3))
+    adj = {s: [p1], p1: [p2], p2: [p3], p3: [p1]}
+    docs = _mk_docs(spark, adj)
+    robots = _allow_all_robots(spark, ["rc.example.com"])
+
+    def spec(max_rounds):
+        return RoundSpec(
+            n_buckets=4, max_depth=8, max_rounds=max_rounds,
+            politeness=PolitenessSpec(qps=1.0, round_seconds=1.0),
+            recrawl_ttl_rounds=3,
+        )
+
+    ck = str(tmp_path_factory.mktemp("ck_compact"))
+    seeds_df = spark.createDataFrame([(s,)], "url string")
+    run1 = CrawlRun(spark, docs, robots, ck, spec(5))
+    res1 = run1.run(seeds_df)
+
+    met = run1.compact_linkbase()
+    assert met["compacted_through"] == run1.last_committed_round() - 1
+    # the ring refetches p1 → superseded rows must be gone (1 row/url)
+    assert met["rows_after"] < met["rows_before"]
+    lb = run1._linkbase(met["compacted_through"])
+    assert lb.count() == lb.select("url").distinct().count()
+    # time travel below the floor fails fast
+    with pytest.raises(ValueError, match="compacted"):
+        run1._linkbase(met["compacted_through"] - 1)
+
+    run2 = CrawlRun(spark, docs, robots, ck, spec(7))
+    res2 = run2.run(seeds_df, resume=True)
+    rounds = [r["admitted_urls"] for r in res1 + res2]
+    while rounds and not rounds[-1]:
+        rounds.pop()
+
+    simout = sim.simulate(
+        [s], adj, _sim_robots_allow(["rc.example.com"]),
+        sim.SimSpec(default_budget=1, max_depth=8, max_rounds=7,
+                    recrawl_ttl_rounds=3),
+    )
+    assert rounds == simout["rounds"]
+    assert run2.seen_urls() == simout["crawled"]
+
+
+def test_linkbase_compaction_dead_link_purge(spark, tmp_path_factory):
+    """The reducer's dead-link rule (update_fail_cnt >= max,
+    mr_combine_batch_delta_reducer.cc:74-99): a url whose trailing
+    fetches all failed leaves the page base; healthy urls keep exactly
+    their latest record."""
+    s = "http://dx.example.com/"
+    ok1, miss = "http://dx.example.com/a", "http://dx.example.com/missing"
+    adj = {s: [ok1, miss], ok1: []}  # miss has no doc → fetch fails
+    docs = _mk_docs(spark, adj)
+    robots = _allow_all_robots(spark, ["dx.example.com"])
+    rspec = RoundSpec(
+        n_buckets=4, max_depth=3, max_rounds=4,
+        politeness=PolitenessSpec(qps=1.0, round_seconds=5.0),
+    )
+    ck = str(tmp_path_factory.mktemp("ck_dead"))
+    run = CrawlRun(spark, docs, robots, ck, rspec)
+    run.run(spark.createDataFrame([(s,)], "url string"))
+
+    met = run.compact_linkbase(max_fail=1)
+    assert met["dead_links"] == 1
+    left = {
+        r["url"]: r for r in
+        run._linkbase(met["compacted_through"]).collect()
+    }
+    assert miss not in left
+    assert set(left) == {s, ok1}
+    assert all(r["success"] for r in left.values())
