@@ -47,6 +47,9 @@ def main() -> None:
                                      "the frontier score")
     p.add_argument("--host-ips", help="(host, ip) parquet dim")
     p.add_argument("--ip-budgets", help="(ip, budget) parquet dim")
+    p.add_argument("--compact-every", type=int, default=0,
+                   help="fold committed linkbase deltas (latest-wins) "
+                        "every N rounds; 0 = never")
     p.add_argument("--resume", action="store_true")
     args = p.parse_args()
 
@@ -77,6 +80,7 @@ def main() -> None:
                                       round_seconds=args.round_seconds),
             seen_mode=args.seen_mode, fused=fused,
             recrawl_ttl_rounds=args.recrawl_ttl or None,
+            compact_every=args.compact_every or None,
             collect_ordering=False,
         ),
         signals=spark.read.parquet(args.signals) if args.signals else None,

@@ -81,6 +81,9 @@ class RoundSpec:
     # whose latest crawl is ≥ ttl rounds old stops counting as seen (its
     # sign is deleted from the shard), so rediscovery re-admits it.
     # Requires seen_mode='sign' (Bloom cannot delete).
+    compact_every: int | None = None  # fold committed linkbase deltas
+    # (latest-round-wins, compact_linkbase) every N committed rounds —
+    # bounds the delta-partition count a long crawl accumulates
     seed: int = 42
 
 
@@ -705,6 +708,9 @@ class CrawlRun:
         for r in range(start, self.spec.max_rounds):
             res = self.run_round(r)
             out.append(res)
+            ce = self.spec.compact_every
+            if ce and (r + 1) % ce == 0:
+                self.compact_linkbase()
             if res["frontier_next"] == 0 and res["admitted"] == 0:
                 break
             if res["admitted"] == 0 and res["frontier_next"] > 0:

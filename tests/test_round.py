@@ -585,3 +585,38 @@ def test_linkbase_compaction_dead_link_purge(spark, tmp_path_factory):
     assert miss not in left
     assert set(left) == {s, ok1}
     assert all(r["success"] for r in left.values())
+
+
+def test_auto_compaction_every_n_rounds(spark, tmp_path_factory):
+    """RoundSpec.compact_every folds deltas mid-run without changing the
+    crawl: the TTL ring with compaction every 2 rounds still matches the
+    simulator, and the delta-partition count stays bounded."""
+    import os
+
+    s = "http://ra.example.com/p/0"
+    p1, p2, p3 = (f"http://ra.example.com/p/{i}" for i in (1, 2, 3))
+    adj = {s: [p1], p1: [p2], p2: [p3], p3: [p1]}
+    docs = _mk_docs(spark, adj)
+    robots = _allow_all_robots(spark, ["ra.example.com"])
+    rspec = RoundSpec(
+        n_buckets=4, max_depth=8, max_rounds=7,
+        politeness=PolitenessSpec(qps=1.0, round_seconds=1.0),
+        recrawl_ttl_rounds=3, compact_every=2,
+    )
+    ck = str(tmp_path_factory.mktemp("ck_autocompact"))
+    run, rounds = _run_engine(spark, docs, robots, ck, rspec, [s])
+
+    simout = sim.simulate(
+        [s], adj, _sim_robots_allow(["ra.example.com"]),
+        sim.SimSpec(default_budget=1, max_depth=8, max_rounds=7,
+                    recrawl_ttl_rounds=3),
+    )
+    assert rounds == simout["rounds"]
+    assert run.seen_urls() == simout["crawled"]
+    n_deltas = sum(
+        d.startswith("round=")
+        for d in os.listdir(os.path.join(ck, "linkbase"))
+    )
+    # 7 rounds + seed would leave 8 deltas uncompacted; folding keeps the
+    # live count at (uncompacted tail) + (compacted latest-round dirs)
+    assert n_deltas < 8
