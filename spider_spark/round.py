@@ -567,9 +567,15 @@ class CrawlRun:
         # raw outlinks (min depth / min referer — same rule the frontier
         # merge applies) BEFORE the canonicalize UDF and rule gates run.
         # Measured ~9x fewer rows through the Python stage at bench scale.
+        # persist: the canonicalizer's JVM-fast-path split filters on the
+        # groupBy key, so Catalyst pushes each branch's filter BELOW this
+        # aggregate and the whole explode+aggregate runs twice (event-log
+        # verified: 2×~45 s task time per round at bench scale). The cache
+        # is an optimizer barrier — both branches scan the ~10× smaller
+        # deduped output instead.
         new_raw = new_raw.groupBy("url").agg(
             F.min("depth").alias("depth"), F.min("referer").alias("referer")
-        )
+        ).persist()
         new_cand = self._prepare_candidates(new_raw)
 
         # 5. next frontier = carry ∪ new, minus just-admitted, deduped by
@@ -684,6 +690,7 @@ class CrawlRun:
         }
         adm.unpersist()
         fetched.unpersist()
+        new_raw.unpersist()
         self._manifest(
             r + 1,
             {"metrics": metrics, "parent_round": r,
