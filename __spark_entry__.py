@@ -426,6 +426,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             urlkit.url_host(F.col("outlink")).alias("host")
         ).groupBy("host").agg(F.count("*").alias("n_links"))
 
+    def outlink_extract(spark, sf):
+        """E1 regex href extraction + A9 per-page sort+unique
+        (text_handler.cc:102-137,133-136) over anchor markup synthesized
+        deterministically from the part table — the oracle-checked twin of
+        the generator-web `interleaved_outlinks`. The first link appears
+        twice in the markup so the oracle also proves the per-page dedup."""
+        from spider_spark.spans import extract_outlinks_regex
+
+        p = _t(spark, sf, "part")
+        l1 = F.concat(
+            F.lit("http://h"), (F.col("p_partkey") % 50).cast("string"),
+            F.lit(".example.com/p/"), (F.col("p_partkey") % 7).cast("string"),
+        )
+        l2 = F.concat(
+            F.lit("http://h"), (F.col("p_partkey") % 31).cast("string"),
+            F.lit(".example.com/q"),
+        )
+        markup = F.concat(
+            F.lit("<p>"), F.col("p_name"), F.lit('</p><a href="'), l1,
+            F.lit('">x</a> <a href="'), l2, F.lit('">y</a> <a href="'), l1,
+            F.lit('">again</a>'),
+        )
+        docs = p.select(
+            F.col("p_partkey").alias("doc_id"),
+            F.array(
+                F.struct(
+                    F.lit("text/html").alias("kind"),
+                    markup.alias("text"),
+                    F.lit(None).cast("string").alias("media_ref"),
+                    F.lit(0).alias("offset"),
+                )
+            ).alias("spans"),
+        )
+        return extract_outlinks_regex(docs).select("doc_id", "outlink")
+
     def proxy_route(spark, sf):
         """L3 (ip_url_split.cc:64-119): heavy ips routed via PROXY."""
         from spider_spark import selector as sel
@@ -750,14 +785,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def ann_ivf(spark, sf):
-        """IVF-style ANN top-10 (approximate twin of knn_cosine)."""
+        """IVF ANN top-10, probe-all config: with n_probe == n_centroids the
+        centroid assignment + per-cluster scan + union covers every row, so
+        the result is exactly the brute-force top-k and the DuckDB oracle
+        checks the whole IVF machinery (assignment argmax, probe pruning,
+        final top-k). Partial-probe recall is covered by the pytest
+        differential (tests/test_similarity.py)."""
         e = _t(spark, sf, "embeddings").select(
             "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
         )
         qrow = e.filter(F.col("vec_id") == 0).select("embedding").first()
         out = similarity.knn_ivf(
             e.filter(F.col("vec_id") != 0), list(qrow["embedding"]),
-            k=10, n_centroids=16, n_probe=8,
+            k=10, n_centroids=16, n_probe=16,
         )
         return out.select("vec_id", F.round("cosine", 4).alias("cosine"))
 
@@ -791,6 +831,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_signs": simhash_signs,
         "url_shards": url_shards,
         "interleaved_outlinks": interleaved_outlinks,
+        "outlink_extract": outlink_extract,
         "ann_ivf": ann_ivf,
         "proxy_route": proxy_route,
         "ip_load": ip_load,
@@ -1283,8 +1324,40 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN ck ON res.url = ck.url
             LEFT JOIN q ON res.url = q.url
         """,
+        "outlink_extract": """
+            WITH docs AS (
+              SELECT p_partkey AS doc_id,
+                     '<p>' || p_name || '</p><a href="' ||
+                     'http://h' || CAST(p_partkey % 50 AS VARCHAR) ||
+                     '.example.com/p/' || CAST(p_partkey % 7 AS VARCHAR) ||
+                     '">x</a> <a href="' ||
+                     'http://h' || CAST(p_partkey % 31 AS VARCHAR) ||
+                     '.example.com/q' ||
+                     '">y</a> <a href="' ||
+                     'http://h' || CAST(p_partkey % 50 AS VARCHAR) ||
+                     '.example.com/p/' || CAST(p_partkey % 7 AS VARCHAR) ||
+                     '">again</a>' AS t
+              FROM part)
+            SELECT doc_id,
+                   unnest(list_sort(list_distinct(
+                     regexp_extract_all(t, '<a href="([^"]+)"', 1))))
+                     AS outlink
+            FROM docs
+        """,
+        "ann_ivf": """
+            WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+                       FROM embeddings WHERE vec_id = 0)
+            SELECT vec_id,
+                   ROUND(list_cosine_similarity(
+                     CAST(embedding AS DOUBLE[]), q.qv), 4) AS cosine
+            FROM embeddings, q
+            WHERE vec_id != 0
+            ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]), q.qv)
+              DESC, vec_id
+            LIMIT 10
+        """,
         # simhash_signs, simhash_assign, url_shards, interleaved_outlinks,
-        # ann_ivf, ip_attach: hash-based / generator-native → rows-only
+        # ip_attach: hash-based / generator-native → rows-only
         # check + pytest differentials (tests/test_simhash.py,
         # test_similarity.py, test_selector.py).
     }
