@@ -124,6 +124,17 @@ def run_queries(spark, sf_dir: str) -> dict[str, float]:
     return times
 
 
+def _cpu_control_work(_):
+    # module-level: Pool.map pickles the callable through the task queue
+    # regardless of fork/spawn, so a closure here breaks the control
+    import numpy as np
+
+    a = np.arange(3_000_000, dtype=np.uint64)
+    for _ in range(40):
+        a = a * np.uint64(0x9E3779B97F4A7C15) ^ (a >> np.uint64(7))
+    return int(a[-1])
+
+
 def _cpu_control(n_procs: int, n_tasks: int = 64) -> float:
     """Pure-CPU multiprocessing control (numpy hash-mix loop, memory-
     bandwidth-bound like a shuffle scan): measures what parallel speedup
@@ -132,17 +143,9 @@ def _cpu_control(n_procs: int, n_tasks: int = 64) -> float:
     on a shared noisy VM the control is the honest denominator."""
     import multiprocessing as mp
 
-    import numpy as np
-
-    def work(_):
-        a = np.arange(3_000_000, dtype=np.uint64)
-        for _ in range(40):
-            a = a * np.uint64(0x9E3779B97F4A7C15) ^ (a >> np.uint64(7))
-        return int(a[-1])
-
     t0 = time.time()
     with mp.Pool(n_procs) as p:
-        p.map(work, range(n_tasks))
+        p.map(_cpu_control_work, range(n_tasks))
     return time.time() - t0
 
 
