@@ -240,11 +240,15 @@ def main() -> None:
                             shuffle_partitions=max(CPUS, 8))
             materialize_web(gen, size, web_dir + "/docs")
             gen.stop()
+            # control measured immediately BEFORE each level: the shared
+            # VM's load oscillates on minute timescales, so a single
+            # after-the-pair control mis-normalizes whichever level ran
+            # under different conditions (BENCH.md §3 methodology)
+            ctrl_small = _cpu_control(small_cpus)
             res_small = crawl_subprocess(small_cpus, size, web_dir + "/docs")
+            ctrl_big = _cpu_control(big_cpus)
             res_big = crawl_subprocess(big_cpus, size, web_dir + "/docs")
             speedup = res_big["urls_per_sec"] / res_small["urls_per_sec"]
-            ctrl_small = _cpu_control(small_cpus)
-            ctrl_big = _cpu_control(big_cpus)
             ctrl_speedup = ctrl_small / ctrl_big
             eff = speedup / (big_cpus / small_cpus)
             ctrl_eff = ctrl_speedup / (big_cpus / small_cpus)

@@ -117,10 +117,22 @@ def make_minhash_udf(k: int = 128, shingle: int = 3, seed: int = 42):
 
 def lsh_candidates(docs: DataFrame, id_col: str = "doc_id",
                    text_col: str = "text", k: int = 128, bands: int = 32,
-                   shingle: int = 3, seed: int = 42) -> DataFrame:
+                   shingle: int = 3, seed: int = 42,
+                   max_bucket_size: int = 10_000) -> DataFrame:
     """MinHash-LSH candidate pairs: k minhashes banded into ``bands`` rows
     of k/bands; docs sharing any band bucket become candidates.
-    Returns distinct (a, b)."""
+    Returns distinct (a, b).
+
+    ``max_bucket_size`` bounds the in-bucket pair expansion: the pair
+    array for one (band, bucket) group is materialized as a single row
+    value before explode, so a degenerate bucket (e.g. 100k empty or
+    boilerplate-identical docs hashing to one bucket) would allocate
+    |ids|² structs in one task. Buckets above the cap are SKIPPED — their
+    members still pair through every other band (b-1 more chances), and a
+    bucket that large is ~all mutual near-dups, better handled by an
+    exact-dup pass (md5 groupBy) first. This cap is an explicit coverage
+    bound, not silent truncation — callers auditing recall can count
+    oversize buckets with a plain ``groupBy(band, bucket)``."""
     rows = k // bands
     spark = docs.sparkSession
     par = spark.sparkContext.defaultParallelism
@@ -163,7 +175,7 @@ def lsh_candidates(docs: DataFrame, id_col: str = "doc_id",
     return (
         banded.groupBy("band", "bucket")
         .agg(F.collect_list("id").alias("ids"))
-        .filter(F.size("ids") >= 2)
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= max_bucket_size))
         .select(F.explode(pairs).alias("p"))
         .select("p.a", "p.b")
         .distinct()

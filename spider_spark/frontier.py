@@ -80,6 +80,10 @@ def fetched_status_barrier(frontier: DataFrame, status: DataFrame,
 # Scale-safe global ranking: range partitioning + partition prefix sums
 # --------------------------------------------------------------------------
 
+# last persisted range-partitioned input (see the unpersist note below)
+_RANGED_LIVE: list = []
+
+
 def _range_prefixed(df: DataFrame, sort_cols: list, agg_col,
                     n_partitions: int | None = None):
     """Range-partition ``df`` by ``sort_cols`` and attach, per row, the
@@ -106,6 +110,16 @@ def _range_prefixed(df: DataFrame, sort_cols: list, agg_col,
         .withColumn("_pid", F.spark_partition_id())
         .persist()
     )
+    # bound the cache footprint: Spark's CacheManager pins persisted data
+    # until an explicit unpersist, so back-to-back ranking calls (bench
+    # reps, repeated driver queries) would otherwise each leak a full
+    # cached copy of their input for the session lifetime. Contract:
+    # callers evaluate the returned plan before issuing the NEXT ranking
+    # call (true for the driver, bench.py and the round) — the previous
+    # call's pinned input is then safe to release.
+    while _RANGED_LIVE:
+        _RANGED_LIVE.pop().unpersist()
+    _RANGED_LIVE.append(ranged)
     totals = {
         r["_pid"]: r["t"]
         for r in ranged.groupBy("_pid").agg(agg_col.alias("t")).collect()

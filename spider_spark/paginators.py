@@ -85,17 +85,23 @@ def extract_list_page_count(docs: DataFrame, url_col: str = "url",
     )
 
 
+def _strip_param_base(url: Column, param_prefix: str) -> Column:
+    """Rebuild ``http://host/path?rest-of-query`` with every ``prefix…``
+    query part dropped and each kept part re-appended verbatim + '&'
+    (preserving the reference's literal string build, url_util.cc:
+    654-677 / 680-701)."""
+    parts = F.split(_query(url), "&")
+    kept = F.filter(parts, lambda p: ~p.startswith(param_prefix))
+    new_query = F.concat_ws("", F.transform(kept, lambda p: F.concat(p, F.lit("&"))))
+    return F.concat(F.lit("http://"), _host(url),
+                    F.parse_url(url, F.lit("PATH")), F.lit("?"), new_query)
+
+
 def _offset_next_urls(url: Column, n_build: Column,
                       item_num: int) -> Column:
     """BuildNextNUrl (url_util.cc:654-677): drop any ``s=`` query part,
-    re-append the rest verbatim (each part + '&', preserving the
-    reference's literal string build), then one url per page with
-    ``s=K*item_num``."""
-    parts = F.split(_query(url), "&")
-    kept = F.filter(parts, lambda p: ~p.startswith("s="))
-    new_query = F.concat_ws("", F.transform(kept, lambda p: F.concat(p, F.lit("&"))))
-    base = F.concat(F.lit("http://"), _host(url),
-                    F.parse_url(url, F.lit("PATH")), F.lit("?"), new_query)
+    then one url per page with ``s=K*item_num``."""
+    base = _strip_param_base(url, "s=")
     return F.transform(
         F.sequence(F.lit(1), n_build),
         lambda i: F.concat(base, F.lit("s="),
@@ -177,11 +183,7 @@ def taobao_sort_variants(df: DataFrame, url_col: str = "url") -> DataFrame:
     order to reach more items — strip any ``sort=`` part, emit one url
     per sort key."""
     url = F.col(url_col)
-    parts = F.split(_query(url), "&")
-    kept = F.filter(parts, lambda p: ~p.startswith("sort="))
-    new_query = F.concat_ws("", F.transform(kept, lambda p: F.concat(p, F.lit("&"))))
-    base = F.concat(F.lit("http://"), _host(url),
-                    F.parse_url(url, F.lit("PATH")), F.lit("?"), new_query)
+    base = _strip_param_base(url, "sort=")
     variants = F.array(*[F.concat(base, F.lit("sort="), F.lit(s))
                          for s in TAOBAO_SORTS])
     return df.select(url.alias("list_url"),

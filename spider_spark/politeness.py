@@ -197,20 +197,24 @@ def ip_cap_admitted(adm: DataFrame, host_ips: DataFrame,
                                 F.lit(default_ip_budget))
     else:
         budget_col = F.col("_ip_budget")  # null → uncapped
+    # only budgeted-ip rows enter the window: when host_ips covers a
+    # subset of hosts (the realistic wiring), the majority null-ip rows
+    # would otherwise all land in the window's single NULL partition —
+    # one task ranking ~the whole round's admitted set
+    taken = taken.withColumn("_cap", budget_col)
+    uncapped = taken.filter(
+        F.col("ip").isNull() | F.col("_cap").isNull()
+    ).drop("_cap", "_ip_budget")
     w = Window.partitionBy("ip").orderBy(
         F.asc("priority"), F.desc("score"), F.asc("url")
     )
     capped = (
-        taken.withColumn("_iprn", F.row_number().over(w))
-        .withColumn(
-            "admitted",
-            F.col("ip").isNull()
-            | budget_col.isNull()
-            | (F.col("_iprn") <= budget_col),
-        )
-        .drop("_iprn", "_ip_budget")
+        taken.filter(F.col("ip").isNotNull() & F.col("_cap").isNotNull())
+        .withColumn("_iprn", F.row_number().over(w))
+        .withColumn("admitted", F.col("_iprn") <= F.col("_cap"))
+        .drop("_iprn", "_cap", "_ip_budget")
     )
-    return capped.unionByName(rest).drop("ip")
+    return capped.unionByName(uncapped).unionByName(rest).drop("ip")
 
 
 def update_host_state(host_state: DataFrame, fetch_results: DataFrame,

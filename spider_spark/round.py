@@ -135,8 +135,15 @@ class CrawlRun:
         # the frontier score each round, closing the reference's §3.3→§3.1
         # loop. At 10^9 urls this is a url-keyed shuffle join; the frontier
         # and signal table share the url domain so AQE plans it sort-merge.
+        # aggregate to one row per url: the per-round left join multiplies
+        # frontier rows on duplicate signal urls (a url admitted twice in
+        # one round, double budget slots, double linkbase rows) — trivially
+        # produced by appending log-analysis outputs across days. max(uv)
+        # is the deterministic merge (the selector keeps the strongest
+        # signal record per url, mr_selector_r1_reducer.cc:62-108).
         self.signals = (
             signals.select(F.col("url"), F.col("uv").cast("double"))
+            .groupBy("url").agg(F.max("uv").alias("uv"))
             if signals is not None else None
         )
         if spec.seen_mode == "sign":
@@ -281,11 +288,65 @@ class CrawlRun:
 
     def _compaction_floor(self) -> int:
         """Oldest round the linkbase can still serve exactly (-1 = all)."""
+        self._recover_swap()
         path = os.path.join(self.ckpt, "linkbase", "_compaction.json")
         if not os.path.exists(path):
             return -1
         with open(path) as f:
             return json.load(f).get("compacted_through", -1)
+
+    def _recover_swap(self) -> None:
+        """Complete a compaction swap interrupted by a crash.
+
+        The swap protocol writes ``_swap_pending.json`` only AFTER the
+        staged rewrite is complete on disk, so the pending marker is the
+        commit point: if it exists, the staged partitions are
+        authoritative — delete whatever old delta dirs remain, move the
+        remaining staged dirs in, finalize ``_compaction.json``. Without
+        the marker a leftover staging dir is an incomplete write and is
+        garbage (compact_linkbase removes it before re-staging). Every
+        ``_linkbase`` read runs this first, so a crash mid-swap can never
+        serve a truncated linkbase."""
+        import shutil
+
+        lb_root = os.path.join(self.ckpt, "linkbase")
+        pending_path = os.path.join(lb_root, "_swap_pending.json")
+        if not os.path.exists(pending_path):
+            return
+        with open(pending_path) as f:
+            pending = json.load(f)
+        stage = os.path.join(lb_root, "_compact_staging")
+        for r in pending["targets"]:
+            d = self._lb_delta_dir(r)
+            if os.path.isdir(d):
+                shutil.rmtree(d)
+        if os.path.isdir(stage):
+            for d in os.listdir(stage):
+                if d.startswith("round="):
+                    os.rename(os.path.join(stage, d),
+                              os.path.join(lb_root, d))
+        self._finalize_swap(lb_root, pending)
+
+    def _finalize_swap(self, lb_root: str, pending: dict) -> None:
+        import shutil
+
+        present = [d for d in os.listdir(lb_root) if d.startswith("round=")]
+        if not present:
+            # keep the partitioned layout readable (schema-bearing empty
+            # delta, same as bootstrap's seed)
+            self._write_linkbase_delta(
+                self.spark.createDataFrame(
+                    [], "url string, host string, depth int, success boolean"
+                ), 0,
+            )
+        with open(os.path.join(lb_root, "_compaction.json"), "w") as f:
+            json.dump({"compacted_through": pending["compacted_through"],
+                       "rows_before": pending["rows_before"],
+                       "rows_after": pending["rows_after"]}, f)
+        os.remove(os.path.join(lb_root, "_swap_pending.json"))
+        stage = os.path.join(lb_root, "_compact_staging")
+        if os.path.isdir(stage):
+            shutil.rmtree(stage)
 
     def compact_linkbase(self, through_round: int | None = None,
                          max_fail: int | None = None) -> dict:
@@ -381,6 +442,8 @@ class CrawlRun:
 
         stage = os.path.join(lb_root, "_compact_staging")
         if os.path.isdir(stage):
+            # no pending marker (recover_swap ran above) → incomplete
+            # staging from a crash mid-write; safe to discard
             shutil.rmtree(stage)
         from pyspark.sql import Observation
         obs = Observation("compact_rows")
@@ -388,27 +451,20 @@ class CrawlRun:
             .write.mode("overwrite").partitionBy("round").parquet(stage)
         rows_after = int(obs.get["n"])
         scored.unpersist()
-        # stage is complete on disk — now swap (delete old, move new in)
+        # stage is complete on disk — the pending marker is the COMMIT
+        # POINT of the swap: from here a crash at any step is completed by
+        # _recover_swap (delete remaining old dirs, move remaining staged
+        # dirs, finalize). Before the marker, the old dirs are untouched.
+        pending = {"targets": targets, "compacted_through": c,
+                   "rows_before": rows_before, "rows_after": rows_after}
+        with open(os.path.join(lb_root, "_swap_pending.json"), "w") as f:
+            json.dump(pending, f)
         for r in targets:
             shutil.rmtree(self._lb_delta_dir(r))
-        staged = [
-            d for d in os.listdir(stage) if d.startswith("round=")
-        ]
-        for d in staged:
-            os.rename(os.path.join(stage, d), os.path.join(lb_root, d))
-        shutil.rmtree(stage)
-        if not staged and not any(r > c for r in present):
-            # keep the partitioned layout readable (schema-bearing empty
-            # delta, same as bootstrap's seed)
-            self._write_linkbase_delta(
-                self.spark.createDataFrame(
-                    [], "url string, host string, depth int, success boolean"
-                ), 0,
-            )
-        with open(os.path.join(lb_root, "_compaction.json"), "w") as f:
-            json.dump({"compacted_through": c,
-                       "rows_before": rows_before,
-                       "rows_after": rows_after}, f)
+        for d in os.listdir(stage):
+            if d.startswith("round="):
+                os.rename(os.path.join(stage, d), os.path.join(lb_root, d))
+        self._finalize_swap(lb_root, pending)
         return {"compacted_through": c, "rows_before": rows_before,
                 "rows_after": rows_after, "dead_links": dead}
 
@@ -739,5 +795,7 @@ class CrawlRun:
         are rounds 0..R-1 — a crash mid-round R leaves an UNcommitted
         round=R delta on disk that must not count as seen."""
         r = self.last_committed_round()
+        if r is None:  # crash before manifest 0 — nothing is committed
+            return []
         lb = self._linkbase(r - 1)
         return sorted(row["url"] for row in lb.select("url").distinct().collect())

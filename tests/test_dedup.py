@@ -108,3 +108,25 @@ def test_embedding_banded_lsh_recall(spark):
     for a, b in got:
         va, vb = np.array(vecs[a]), np.array(vecs[b])
         assert va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb)) >= 0.95 - 1e-9
+
+
+def test_lsh_bucket_cap_bounds_pair_expansion(spark):
+    """max_bucket_size skips degenerate buckets whose in-bucket pair array
+    would be quadratic in one task; normal-sized buckets are unaffected."""
+    docs = spark.createDataFrame(
+        [(i, "identical boilerplate text body repeated for every doc")
+         for i in range(8)]
+        + [(100, "a genuinely unique pair of documents here alpha"),
+           (101, "a genuinely unique pair of documents here beta")],
+        "doc_id long, text string",
+    )
+    # the 8 identical docs collide in EVERY band: cap 4 skips those
+    # buckets entirely, the unique pair (bucket size 2) still pairs
+    capped = dedup.lsh_candidates(docs, max_bucket_size=4)
+    pairs = {(r["a"], r["b"]) for r in capped.collect()}
+    assert (100, 101) in pairs
+    assert not any(a < 8 and b < 8 for a, b in pairs)
+    # default cap admits the identical-doc buckets (28 pairs + the pair)
+    full = dedup.lsh_candidates(docs)
+    assert {(r["a"], r["b"]) for r in full.collect()} >= {(100, 101)} and \
+        full.count() == 28 + 1

@@ -158,3 +158,33 @@ def test_per_host_budget_dim(spark):
     budgets = spark.createDataFrame([("big.com", 5)], "host string, budget int")
     out = pol.admit_round(cand, pol.init_host_state(spark), budgets, spec, 0)
     assert out.filter(F.col("admitted")).count() == 5
+
+
+def test_ip_cap_null_ips_bypass_window(spark):
+    """Rows whose host has no ip mapping (or whose ip has no budget) must
+    not enter the per-ip ranking window: correctness — they stay
+    admitted untouched; plan — the window's input filters to non-null
+    ips, so the (typically majority) unmapped rows can never serialize
+    through the window's single NULL partition."""
+    adm = spark.createDataFrame(
+        [(f"http://h{i % 4}.com/{i}", f"h{i % 4}.com", 30, 1.0, True)
+         for i in range(20)],
+        "url string, host string, priority int, score double, "
+        "admitted boolean",
+    )
+    host_ips = spark.createDataFrame(
+        [("h0.com", "1.1.1.1"), ("h1.com", "1.1.1.1")],
+        "host string, ip string",
+    )  # h2/h3 unmapped → null ip
+    ip_budgets = spark.createDataFrame(
+        [("1.1.1.1", 3)], "ip string, budget int")
+    out = pol.ip_cap_admitted(adm, host_ips, ip_budgets)
+    rows = {r["url"]: r["admitted"] for r in out.collect()}
+    assert len(rows) == 20
+    mapped = [u for u in rows if u.startswith(("http://h0", "http://h1"))]
+    unmapped = [u for u in rows if not u.startswith(("http://h0", "http://h1"))]
+    assert sum(rows[u] for u in mapped) == 3           # capped to budget
+    assert all(rows[u] for u in unmapped)              # untouched
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the Window node's child subtree must carry the isnotnull(ip) filter
+    assert "isnotnull(ip" in plan, plan

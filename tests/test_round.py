@@ -620,3 +620,89 @@ def test_auto_compaction_every_n_rounds(spark, tmp_path_factory):
     # 7 rounds + seed would leave 8 deltas uncompacted; folding keeps the
     # live count at (uncompacted tail) + (compacted latest-round dirs)
     assert n_deltas < 8
+
+
+def test_compaction_swap_crash_recovery(spark, tmp_path_factory, monkeypatch):
+    """The swap's commit point is _swap_pending.json (written only after
+    the staged rewrite is complete): a crash after the old delta dirs are
+    deleted but before the staged partitions are renamed in must lose no
+    data — the next linkbase read completes the swap."""
+    import os
+
+    s = "http://cw.example.com/p/0"
+    p1, p2 = (f"http://cw.example.com/p/{i}" for i in (1, 2))
+    adj = {s: [p1], p1: [p2], p2: [s]}
+    docs = _mk_docs(spark, adj)
+    robots = _allow_all_robots(spark, ["cw.example.com"])
+    rspec = RoundSpec(
+        n_buckets=4, max_depth=8, max_rounds=4,
+        politeness=PolitenessSpec(qps=1.0, round_seconds=1.0),
+        recrawl_ttl_rounds=3,
+    )
+    ck = str(tmp_path_factory.mktemp("ck_crash"))
+    run, _ = _run_engine(spark, docs, robots, ck, rspec, [s])
+    baseline = run.seen_urls()
+    assert baseline  # non-trivial crawl
+
+    import spider_spark.round as round_mod
+
+    def injected_crash(*a, **k):
+        raise RuntimeError("injected crash")
+
+    monkeypatch.setattr(round_mod.os, "rename", injected_crash)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        run.compact_linkbase()
+    monkeypatch.undo()
+
+    lb_root = os.path.join(ck, "linkbase")
+    # mid-swap state on disk: commit marker present, old dirs gone,
+    # staged partitions not yet moved in
+    assert os.path.exists(os.path.join(lb_root, "_swap_pending.json"))
+    assert os.path.isdir(os.path.join(lb_root, "_compact_staging"))
+    # any read path recovers the swap and serves the full linkbase
+    assert run.seen_urls() == baseline
+    assert not os.path.exists(os.path.join(lb_root, "_swap_pending.json"))
+    assert not os.path.isdir(os.path.join(lb_root, "_compact_staging"))
+    assert run._compaction_floor() >= 0
+
+
+def test_seen_urls_empty_before_any_commit(spark, tmp_path_factory):
+    """A crash during bootstrap (state written, manifest 0 never) leaves
+    nothing committed: seen_urls() degrades to empty, not a TypeError."""
+    adj = {"http://e.example.com/p/0": []}
+    docs = _mk_docs(spark, adj)
+    robots = _allow_all_robots(spark, ["e.example.com"])
+    ck = str(tmp_path_factory.mktemp("ck_empty"))
+    run = CrawlRun(spark, docs, robots, ck, RoundSpec(n_buckets=4))
+    assert run.seen_urls() == []
+
+
+def test_duplicate_signal_rows_do_not_duplicate_admission(
+        spark, tmp_path_factory):
+    """A signals table with duplicate urls (appended log-analysis outputs)
+    must not multiply frontier rows: the crawl equals the unique-signals
+    run and no round admits a url twice."""
+    seed = "http://c.example.com/p/0"
+    pages = [f"http://b.example.com/p/{i}" for i in range(1, 5)]
+    adj = {seed: pages}
+    hosts = ["b.example.com", "c.example.com"]
+    docs = _mk_docs(spark, adj)
+    robots = _allow_all_robots(spark, hosts)
+    rspec = RoundSpec(
+        n_buckets=4, max_depth=3, max_rounds=8,
+        politeness=PolitenessSpec(qps=1.0, round_seconds=1.0),
+    )
+    uniq = spark.createDataFrame(
+        [(pages[2], 50.0), (pages[1], 20.0)], "url string, uv double")
+    dup = spark.createDataFrame(
+        [(pages[2], 50.0), (pages[2], 50.0), (pages[2], 10.0),
+         (pages[1], 20.0), (pages[1], 20.0)], "url string, uv double")
+    _, r_uniq = _run_engine(
+        spark, docs, robots, str(tmp_path_factory.mktemp("ck_su")),
+        rspec, [seed], signals=uniq)
+    _, r_dup = _run_engine(
+        spark, docs, robots, str(tmp_path_factory.mktemp("ck_sd")),
+        rspec, [seed], signals=dup)
+    assert r_dup == r_uniq
+    for batch in r_dup:
+        assert len(batch) == len(set(batch))
