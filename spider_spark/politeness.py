@@ -187,7 +187,13 @@ def ip_cap_admitted(adm: DataFrame, host_ips: DataFrame,
     when ``default_ip_budget`` is None, are uncapped. Demotion order is
     the global frontier order (priority asc, score desc, url asc).
     """
-    j = adm.join(F.broadcast(host_ips), "host", "left")
+    # one ip per host, deterministically (min): a multi-A-record host
+    # would otherwise MULTIPLY its admitted rows through the left join —
+    # duplicate fetches, duplicate linkbase rows, inflated metrics. The
+    # reference assigns each url one ip (url_to_ip.cc:53-91, its random
+    # pick made deterministic per the north rule).
+    one_ip = host_ips.groupBy("host").agg(F.min("ip").alias("ip"))
+    j = adm.join(F.broadcast(one_ip), "host", "left")
     taken = j.filter(F.col("admitted"))
     rest = j.filter(~F.col("admitted"))
     b = ip_budgets.withColumnRenamed("budget", "_ip_budget")
@@ -235,8 +241,16 @@ def update_host_state(host_state: DataFrame, fetch_results: DataFrame,
         F.coalesce(F.col("consec_failures"), F.lit(0))
         + F.coalesce(F.col("failures"), F.lit(0)).cast("int")
     )
+    # (re)stamp holdon only when THIS round added failures: a host on
+    # holdon admits nothing, so it has no fetch rows — an unconditional
+    # stamp would re-extend the holdon every round it sits blocked and
+    # starve the host permanently instead of releasing it after
+    # holdon_rounds (load_controller.cc holdon is a fixed-duration pause,
+    # and the simulator twin only updates hosts that fetched)
     holdon = F.when(
-        consec >= spec.holdon_failures, F.lit(round_no + spec.holdon_rounds)
+        (F.coalesce(F.col("failures"), F.lit(0)) > 0)
+        & (consec >= spec.holdon_failures),
+        F.lit(round_no + spec.holdon_rounds),
     ).otherwise(F.coalesce(F.col("holdon_until_round"), F.lit(-1)))
     dropped = F.coalesce(F.col("dropped"), F.lit(False)) | (
         consec >= spec.max_failed_times
@@ -274,9 +288,14 @@ def parse_robots_txt(robots_bodies: DataFrame, host_col: str = "host",
     def parse_one(body: str) -> tuple[bool, bool, list[str]]:
         if body is None or not body.strip():
             return (False, True, [])
-        prefixes: list[str] = []
-        applies = False
-        saw_group = False
+        # group assembly (RFC 9309): CONSECUTIVE User-agent lines form one
+        # group whose rules apply to all listed agents — overwriting a
+        # per-line "applies" flag would drop the group when a matching UA
+        # line is followed by a non-matching one. A rule line closes the
+        # header; the next User-agent line starts a new group.
+        groups: list[tuple[list[str], list[tuple[str, str]]]] = []
+        cur_agents: list[str] = []
+        cur_rules: list[tuple[str, str]] = []
         for line in body.splitlines():
             line = line.split("#", 1)[0].strip()
             if not line or ":" not in line:
@@ -284,12 +303,29 @@ def parse_robots_txt(robots_bodies: DataFrame, host_col: str = "host",
             key, _, val = line.partition(":")
             key, val = key.strip().lower(), val.strip()
             if key == "user-agent":
-                applies = val == "*" or agent_l in val.lower()
-                saw_group = saw_group or applies
-            elif key == "disallow" and applies and val:
-                prefixes.append(val)
-        if not saw_group:
+                if cur_rules:
+                    groups.append((cur_agents, cur_rules))
+                    cur_agents, cur_rules = [], []
+                cur_agents.append(val)
+            elif cur_agents:
+                cur_rules.append((key, val))
+        if cur_agents:
+            groups.append((cur_agents, cur_rules))
+        # specific groups take precedence over `*` groups (RFC 9309 §2.2.1
+        # most-specific-match; the reference's CanFetch checks the named
+        # agent before the wildcard, robots_parser_mapper.py:26-49)
+        specific = [
+            g for g in groups
+            if any(a != "*" and agent_l in a.lower() for a in g[0])
+        ]
+        star = [g for g in groups if any(a == "*" for a in g[0])]
+        selected = specific or star
+        if not selected:
             return (True, True, [])
+        prefixes = [
+            v for _, rules in selected
+            for k, v in rules if k == "disallow" and v
+        ]
         return (True, not prefixes, prefixes)
 
     @pandas_udf(

@@ -301,35 +301,49 @@ class CrawlRun:
         The swap protocol writes ``_swap_pending.json`` only AFTER the
         staged rewrite is complete on disk, so the pending marker is the
         commit point: if it exists, the staged partitions are
-        authoritative — delete whatever old delta dirs remain, move the
-        remaining staged dirs in, finalize ``_compaction.json``. Without
-        the marker a leftover staging dir is an incomplete write and is
-        garbage (compact_linkbase removes it before re-staging). Every
-        ``_linkbase`` read runs this first, so a crash mid-swap can never
-        serve a truncated linkbase."""
-        import shutil
-
+        authoritative and :meth:`_apply_swap` (idempotent) finishes the
+        exchange. Without the marker a leftover staging dir is an
+        incomplete write and is garbage (compact_linkbase removes it
+        before re-staging). Every ``_linkbase`` read runs this first, so
+        a crash mid-swap can never serve a truncated linkbase."""
         lb_root = os.path.join(self.ckpt, "linkbase")
         pending_path = os.path.join(lb_root, "_swap_pending.json")
         if not os.path.exists(pending_path):
             return
         with open(pending_path) as f:
             pending = json.load(f)
-        stage = os.path.join(lb_root, "_compact_staging")
-        for r in pending["targets"]:
-            d = self._lb_delta_dir(r)
-            if os.path.isdir(d):
-                shutil.rmtree(d)
-        if os.path.isdir(stage):
-            for d in os.listdir(stage):
-                if d.startswith("round="):
-                    os.rename(os.path.join(stage, d),
-                              os.path.join(lb_root, d))
-        self._finalize_swap(lb_root, pending)
+        self._apply_swap(lb_root, pending)
 
-    def _finalize_swap(self, lb_root: str, pending: dict) -> None:
+    def _apply_swap(self, lb_root: str, pending: dict) -> None:
+        """Exchange old delta dirs for staged compacted partitions.
+
+        Idempotent and crash-resumable at any step: old dirs are RENAMED
+        into ``_compact_trash/`` (never deleted before finalize), and the
+        marker's ``staged_rounds`` list disambiguates a ``round=N`` dir
+        under the linkbase root — for a staged round, the dir is OLD
+        exactly while ``stage/round=N`` still exists (the per-round order
+        is trash-old then move-staged); for an unstaged target it is
+        always old. Underscore-prefixed dirs are invisible to Spark's
+        file listing, so readers never see the trash or staging areas."""
         import shutil
 
+        stage = os.path.join(lb_root, "_compact_staging")
+        trash = os.path.join(lb_root, "_compact_trash")
+        os.makedirs(trash, exist_ok=True)
+        staged = set(pending["staged_rounds"])
+        for r in pending["targets"]:
+            lb_dir = self._lb_delta_dir(r)
+            st = os.path.join(stage, f"round={r}")
+            if r in staged:
+                if os.path.isdir(st):
+                    if os.path.isdir(lb_dir):  # old, not yet trashed
+                        os.rename(lb_dir, os.path.join(trash, f"round={r}"))
+                    os.rename(st, lb_dir)
+                # else: already exchanged in a previous attempt
+            elif os.path.isdir(lb_dir):
+                # nothing staged for r — every row was superseded; the
+                # old dir is retired wholesale
+                os.rename(lb_dir, os.path.join(trash, f"round={r}"))
         present = [d for d in os.listdir(lb_root) if d.startswith("round=")]
         if not present:
             # keep the partitioned layout readable (schema-bearing empty
@@ -343,10 +357,10 @@ class CrawlRun:
             json.dump({"compacted_through": pending["compacted_through"],
                        "rows_before": pending["rows_before"],
                        "rows_after": pending["rows_after"]}, f)
+        # the swap is complete and recorded — only now is data destroyed
         os.remove(os.path.join(lb_root, "_swap_pending.json"))
-        stage = os.path.join(lb_root, "_compact_staging")
-        if os.path.isdir(stage):
-            shutil.rmtree(stage)
+        shutil.rmtree(trash, ignore_errors=True)
+        shutil.rmtree(stage, ignore_errors=True)
 
     def compact_linkbase(self, through_round: int | None = None,
                          max_fail: int | None = None) -> dict:
@@ -445,6 +459,8 @@ class CrawlRun:
             # no pending marker (recover_swap ran above) → incomplete
             # staging from a crash mid-write; safe to discard
             shutil.rmtree(stage)
+        shutil.rmtree(os.path.join(lb_root, "_compact_trash"),
+                      ignore_errors=True)  # orphan from a finalize crash
         from pyspark.sql import Observation
         obs = Observation("compact_rows")
         out.observe(obs, F.count(F.lit(1)).alias("n")) \
@@ -452,19 +468,19 @@ class CrawlRun:
         rows_after = int(obs.get["n"])
         scored.unpersist()
         # stage is complete on disk — the pending marker is the COMMIT
-        # POINT of the swap: from here a crash at any step is completed by
-        # _recover_swap (delete remaining old dirs, move remaining staged
-        # dirs, finalize). Before the marker, the old dirs are untouched.
-        pending = {"targets": targets, "compacted_through": c,
+        # POINT of the swap: from here a crash at any step is completed
+        # idempotently by _recover_swap/_apply_swap. Before the marker,
+        # the old dirs are untouched and the stage is discardable.
+        staged_rounds = sorted(
+            int(d.split("=")[1]) for d in os.listdir(stage)
+            if d.startswith("round=")
+        )
+        pending = {"targets": targets, "staged_rounds": staged_rounds,
+                   "compacted_through": c,
                    "rows_before": rows_before, "rows_after": rows_after}
         with open(os.path.join(lb_root, "_swap_pending.json"), "w") as f:
             json.dump(pending, f)
-        for r in targets:
-            shutil.rmtree(self._lb_delta_dir(r))
-        for d in os.listdir(stage):
-            if d.startswith("round="):
-                os.rename(os.path.join(stage, d), os.path.join(lb_root, d))
-        self._finalize_swap(lb_root, pending)
+        self._apply_swap(lb_root, pending)
         return {"compacted_through": c, "rows_before": rows_before,
                 "rows_after": rows_after, "dead_links": dead}
 
@@ -494,7 +510,15 @@ class CrawlRun:
             F.min("depth").alias("depth"), F.min("referer").alias("referer"),
             F.max("vip").alias("vip"),
         )
-        self._write(cand, 0, "frontier")
+        # the frontier count rides the write job (Observation) — a
+        # separate cand.count() would re-run the canonicalize UDF /
+        # robots / rule chain a second time over the whole seed list
+        from pyspark.sql import Observation
+
+        obs = Observation("bootstrap_frontier")
+        self._write(
+            cand.observe(obs, F.count(F.lit(1)).alias("n")), 0, "frontier"
+        )
         self._write(
             self.bloom.init_state(self.spark, self.spec.n_buckets), 0,
             "seen_state",
@@ -507,7 +531,7 @@ class CrawlRun:
         self._write_linkbase_delta(empty_lb, 0)
         self._manifest(
             0,
-            {"seeded": True, "frontier": cand.count(),
+            {"seeded": True, "frontier": int(obs.get["n"]),
              "spec": self._spec_fingerprint()},
         )
 
@@ -548,7 +572,6 @@ class CrawlRun:
         frontier = self._with_keys(self._read(r, "frontier"))
         seen_state = self._read(r, "seen_state")
         host_state = self._read(r, "host_state")
-        linkbase = self._linkbase(r - 1) if r > 0 else None
 
         # 1+2. seen-probe then politeness admission. The admission split
         #    feeds four consumers (fetch, carryover, seen-update, metrics)
@@ -575,6 +598,12 @@ class CrawlRun:
             # the confirm join too.
             probed = self.bloom.probe(frontier, seen_state)
             confirm = self.spec.confirm_hits and self.spec.seen_mode != "sign"
+            # linkbase read built only where consumed: on the default
+            # fused/sign path the parquet listing would walk O(rounds)
+            # delta dirs on the driver every round for an unused plan
+            linkbase = (
+                self._linkbase(r - 1) if confirm and r > 0 else None
+            )
             if confirm and linkbase is not None:
                 hits = probed.filter(F.col("maybe_seen") & ~F.col("vip"))
                 fps = hits.join(linkbase.select("url"), "url", "left_anti")
@@ -663,6 +692,7 @@ class CrawlRun:
         ttl = self.spec.recrawl_ttl_rounds
         if ttl is not None and r + 1 - ttl >= 0:
             exp_round = r + 1 - ttl
+            self._recover_swap()  # direct dir read — complete any mid-swap
             lb_all = self.spark.read.parquet(
                 os.path.join(self.ckpt, "linkbase")
             )
@@ -782,9 +812,9 @@ class CrawlRun:
                 self.compact_linkbase()
             if res["frontier_next"] == 0 and res["admitted"] == 0:
                 break
-            if res["admitted"] == 0 and res["frontier_next"] > 0:
-                # every remaining host blocked/held — advance the clock
-                continue
+            # admitted == 0 with frontier_next > 0 means every remaining
+            # host is blocked/held — the loop simply advances the round
+            # counter (the logical clock) until holdons expire
         return out
 
     def seen_urls(self) -> list[str]:

@@ -188,3 +188,25 @@ def test_ip_cap_null_ips_bypass_window(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     # the Window node's child subtree must carry the isnotnull(ip) filter
     assert "isnotnull(ip" in plan, plan
+
+
+def test_ip_cap_multi_ip_host_does_not_duplicate_rows(spark):
+    """A host with several A-records (two host_ips rows) must not
+    multiply its admitted rows through the dim join — one deterministic
+    ip per host (min), row count preserved."""
+    adm = spark.createDataFrame(
+        [(f"http://m.com/{i}", "m.com", 30, 1.0, True) for i in range(6)],
+        "url string, host string, priority int, score double, "
+        "admitted boolean",
+    )
+    host_ips = spark.createDataFrame(
+        [("m.com", "2.2.2.2"), ("m.com", "1.1.1.1")],
+        "host string, ip string",
+    )
+    ip_budgets = spark.createDataFrame(
+        [("1.1.1.1", 2), ("2.2.2.2", 100)], "ip string, budget int")
+    out = pol.ip_cap_admitted(adm, host_ips, ip_budgets)
+    rows = out.collect()
+    assert len(rows) == 6  # no duplication
+    # deterministic pick = min ip → budget 2 applies
+    assert sum(r["admitted"] for r in rows) == 2

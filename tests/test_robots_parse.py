@@ -69,3 +69,45 @@ def test_categorize_and_gate(spark):
     assert urls_kept == {
         "http://x.com/list/1", "http://x.com/item/2", "http://x.com/junk/3"
     }
+
+
+def test_parse_robots_multi_agent_group(spark):
+    """RFC 9309 group semantics: consecutive User-agent lines form ONE
+    group — a matching UA line followed by a non-matching one must not
+    drop the group's rules."""
+    bodies = spark.createDataFrame(
+        [
+            ("grp.com", "User-agent: spider\nUser-agent: googlebot\n"
+                        "Disallow: /admin\n"),
+            ("grp2.com", "User-agent: googlebot\nUser-agent: spider\n"
+                         "Disallow: /x\n"),
+            ("two.com", "User-agent: googlebot\nDisallow: /g\n\n"
+                        "User-agent: spider\nDisallow: /s\n"),
+        ],
+        "host string, body string",
+    )
+    out = {r["host"]: r.asDict()
+           for r in pol.parse_robots_txt(bodies, agent="spider").collect()}
+    assert out["grp.com"]["disallow_prefixes"] == ["/admin"]
+    assert out["grp2.com"]["disallow_prefixes"] == ["/x"]
+    assert out["two.com"]["disallow_prefixes"] == ["/s"]
+
+
+def test_parse_robots_specific_overrides_star(spark):
+    """A group naming the agent takes precedence over the `*` group
+    (most-specific match): star rules must not leak into the result."""
+    bodies = spark.createDataFrame(
+        [
+            ("pref.com", "User-agent: *\nDisallow: /all\n\n"
+                         "User-agent: spider\nDisallow: /mine\n"),
+            ("permit.com", "User-agent: *\nDisallow: /all\n\n"
+                           "User-agent: spider\nDisallow:\n"),
+        ],
+        "host string, body string",
+    )
+    out = {r["host"]: r.asDict()
+           for r in pol.parse_robots_txt(bodies, agent="spider").collect()}
+    assert out["pref.com"]["disallow_prefixes"] == ["/mine"]
+    # explicit empty Disallow in the specific group = allow-all for us
+    assert out["permit.com"]["allow_all"]
+    assert out["permit.com"]["disallow_prefixes"] == []

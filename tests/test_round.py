@@ -706,3 +706,85 @@ def test_duplicate_signal_rows_do_not_duplicate_admission(
     assert r_dup == r_uniq
     for batch in r_dup:
         assert len(batch) == len(set(batch))
+
+
+def test_holdon_releases_blocked_host(spark, tmp_path_factory):
+    """A host that enters holdon with carryover URLs must be released
+    after holdon_rounds, not starved forever: the state update may only
+    (re)stamp holdon when the round ADDED failures — a blocked host has
+    no fetch rows, so an unconditional stamp would extend the holdon
+    every round it sits blocked (engine-vs-simulator divergence)."""
+    seed = "http://a.example.com/p/0"
+    b1, b2, b3 = (f"http://b.example.com/p/{i}" for i in (1, 2, 3))
+    adj = {seed: [b1, b2, b3], b3: []}  # b1/b2 missing → fetch fails
+    hosts = ["a.example.com", "b.example.com"]
+    docs = _mk_docs(spark, adj)
+    robots = _allow_all_robots(spark, hosts)
+    rspec = RoundSpec(
+        n_buckets=4, max_depth=3, max_rounds=10,
+        politeness=PolitenessSpec(qps=1.0, round_seconds=1.0,
+                                  holdon_failures=2, holdon_rounds=2),
+    )
+    ck = str(tmp_path_factory.mktemp("ck_holdon"))
+    run, rounds = _run_engine(spark, docs, robots, ck, rspec, [seed])
+    simout = sim.simulate(
+        [seed], adj, _sim_robots_allow(hosts),
+        sim.SimSpec(default_budget=1, max_depth=3, max_rounds=10,
+                    holdon_failures=2, holdon_rounds=2),
+    )
+    assert rounds == simout["rounds"]
+    # the host exits holdon and the real page IS eventually crawled
+    assert any(b3 in batch for batch in rounds)
+
+
+@pytest.mark.parametrize("fail_after", [1, 2, 3])
+def test_compaction_swap_crash_mid_rename(spark, tmp_path_factory,
+                                          monkeypatch, fail_after):
+    """Crash after SOME renames of the swap already happened: recovery
+    must distinguish moved-in compacted partitions from not-yet-retired
+    old dirs (staged_rounds in the marker) — a naive 'delete all targets'
+    recovery would destroy freshly-moved data."""
+    import os
+
+    s = "http://cm.example.com/p/0"
+    p1, p2 = (f"http://cm.example.com/p/{i}" for i in (1, 2))
+    adj = {s: [p1], p1: [p2], p2: [s]}
+    docs = _mk_docs(spark, adj)
+    robots = _allow_all_robots(spark, ["cm.example.com"])
+    rspec = RoundSpec(
+        n_buckets=4, max_depth=8, max_rounds=4,
+        politeness=PolitenessSpec(qps=1.0, round_seconds=1.0),
+        recrawl_ttl_rounds=3,
+    )
+    ck = str(tmp_path_factory.mktemp(f"ck_midrn{fail_after}"))
+    run, _ = _run_engine(spark, docs, robots, ck, rspec, [s])
+    baseline = run.seen_urls()
+    baseline_rows = run._linkbase(run.last_committed_round() - 1).count()
+
+    import spider_spark.round as round_mod
+    real_rename = os.rename
+    calls = {"n": 0}
+
+    def flaky_rename(src, dst):
+        calls["n"] += 1
+        if calls["n"] > fail_after:
+            raise RuntimeError("injected crash")
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(round_mod.os, "rename", flaky_rename)
+    try:
+        run.compact_linkbase()
+        crashed = False
+    except RuntimeError:
+        crashed = True
+    monkeypatch.undo()
+    # whether or not this fail_after was reached, the linkbase must be
+    # complete afterwards (recovery path or clean completion)
+    assert run.seen_urls() == baseline
+    floor = run._compaction_floor()
+    lb = run._linkbase(run.last_committed_round() - 1)
+    assert lb.count() == lb.select("url").distinct().count()
+    assert set(r["url"] for r in lb.select("url").collect()) == set(baseline)
+    if crashed:
+        assert floor >= 0  # recovery finalized the compaction
+    assert baseline_rows >= lb.count()
