@@ -113,12 +113,16 @@ def _range_prefixed(df: DataFrame, sort_cols: list, agg_col,
     # bound the cache footprint: Spark's CacheManager pins persisted data
     # until an explicit unpersist, so back-to-back ranking calls (bench
     # reps, repeated driver queries) would otherwise each leak a full
-    # cached copy of their input for the session lifetime. Contract:
-    # callers evaluate the returned plan before issuing the NEXT ranking
-    # call (true for the driver, bench.py and the round) — the previous
-    # call's pinned input is then safe to release.
-    while _RANGED_LIVE:
-        _RANGED_LIVE.pop().unpersist()
+    # cached copy of their input for the session lifetime. A depth-2
+    # window is kept so the common interleave `p1 = band(...); p2 =
+    # binpack(...); p1.collect()` never unpins a plan that is still
+    # unevaluated. Contract for deeper interleaving: evaluate a ranking
+    # result before issuing a THIRD ranking call (true for the driver,
+    # bench.py, check_oracle and the round) — unpinning an unevaluated
+    # plan would let its _pid assignment recompute differently from the
+    # collected totals.
+    while len(_RANGED_LIVE) >= 2:
+        _RANGED_LIVE.pop(0).unpersist()
     _RANGED_LIVE.append(ranged)
     totals = {
         r["_pid"]: r["t"]

@@ -106,11 +106,19 @@ def pv_combine(*parts: DataFrame, uid_col: str = "uid",
     )
 
 
-def search_click_join(search: DataFrame, pv: DataFrame) -> DataFrame:
-    """J6: key (uid, url, query, se); pv rows are clicks of search results;
-    ads (rank > 10) dropped before the join."""
+def search_click_join(search: DataFrame, pv: DataFrame,
+                      keys: tuple[str, ...] = ("uid", "url", "query", "se")
+                      ) -> DataFrame:
+    """J6: key (uid, url, query, se) — the reference's full composite
+    (search_pv_clk.cc:20-56), which prevents a click row from being
+    attributed to EVERY query/engine the user issued for that url. The
+    join uses every key column present in BOTH frames: pv logs that
+    carry query/se (parsed from the referer, as the reference does) get
+    the full composite; a reduced pv shape degrades to (uid, url).
+    Ads (rank > 10) dropped before the join."""
     s = search.filter(F.col("rank") <= MAX_CLICK_RANK)
-    return s.join(pv, ["uid", "url"], "inner")
+    join_keys = [k for k in keys if k in s.columns and k in pv.columns]
+    return s.join(pv, join_keys, "inner")
 
 
 def url_ref_pairs(pv: DataFrame, url_col: str = "url",

@@ -48,11 +48,11 @@ _SUNING_COUNT_RE = (
 
 
 def _host(url: Column) -> Column:
-    return F.parse_url(url, F.lit("HOST"))
+    return F.try_parse_url(url, F.lit("HOST"))
 
 
 def _query(url: Column) -> Column:
-    return F.coalesce(F.parse_url(url, F.lit("QUERY")), F.lit(""))
+    return F.coalesce(F.try_parse_url(url, F.lit("QUERY")), F.lit(""))
 
 
 def extract_list_page_count(docs: DataFrame, url_col: str = "url",
@@ -94,7 +94,7 @@ def _strip_param_base(url: Column, param_prefix: str) -> Column:
     kept = F.filter(parts, lambda p: ~p.startswith(param_prefix))
     new_query = F.concat_ws("", F.transform(kept, lambda p: F.concat(p, F.lit("&"))))
     return F.concat(F.lit("http://"), _host(url),
-                    F.parse_url(url, F.lit("PATH")), F.lit("?"), new_query)
+                    F.try_parse_url(url, F.lit("PATH")), F.lit("?"), new_query)
 
 
 def _offset_next_urls(url: Column, n_build: Column,
@@ -197,16 +197,16 @@ def taobao_pc_to_mobile(url: Column) -> Column:
     not a convertible item page. itemId comes from ``id=`` on
     ``/item.htm`` and ``mallstItemId=`` on ``/venus/spu_detail.htm``."""
     host = _host(url)
-    path = F.parse_url(url, F.lit("PATH"))
+    path = F.try_parse_url(url, F.lit("PATH"))
     m_host = (
         F.when(host == "item.taobao.com", "a.m.taobao.com")
         .when(host == "detail.tmall.com", "a.m.tmall.com")
     )
     item_id = (
         F.when(path == "/item.htm",
-               F.parse_url(url, F.lit("QUERY"), F.lit("id")))
+               F.try_parse_url(url, F.lit("QUERY"), F.lit("id")))
         .when(path == "/venus/spu_detail.htm",
-              F.parse_url(url, F.lit("QUERY"), F.lit("mallstItemId")))
+              F.try_parse_url(url, F.lit("QUERY"), F.lit("mallstItemId")))
     )
     ok = m_host.isNotNull() & item_id.rlike(r"^\d+$")
     return F.when(

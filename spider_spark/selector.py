@@ -77,7 +77,11 @@ _SEARCH_PAGE_PARAMS = {
 
 
 def search_page_number(host: Column, query: Column) -> Column:
-    """P10: result-page number of a search URL, 1 when no page param."""
+    """P10: result-page number of a search URL, 1 when no page param.
+    A NULL query (e.g. the engine's homepage) is page 1 — without the
+    coalesce the NULL would propagate through the regexp and the caller's
+    ``filter(page <= n)`` would silently DROP the row."""
+    query = F.coalesce(query, F.lit(""))
     page = F.lit(1)
     for h, (param, step) in _SEARCH_PAGE_PARAMS.items():
         raw = F.regexp_extract(query, rf"(?:^|&){param}=(\d+)", 1)
@@ -98,8 +102,12 @@ def keep_first_n_search_pages(df: DataFrame, host_col: str = "host",
 
 
 def strip_tel_qq(url: Column) -> Column:
-    """P11: cut TEL:…/QQ:… garbage suffixes from log URLs."""
-    return F.regexp_replace(url, r"(?i)(TEL|QQ):.*$", "")
+    """P11: cut TEL:…/QQ:… garbage from pv/search-log URLs — truncate at
+    the FIRST exact-case ``TEL:``/``tel:``/``QQ:``/``qq:`` substring,
+    byte-matching the reference (mr_selector_r1_mapper.cc:374-387 uses
+    ``url.find`` on exactly those four literals; mixed-case ``Tel:`` is
+    NOT stripped there, so a case-insensitive regex would over-strip)."""
+    return F.regexp_replace(url, r"(TEL|tel|QQ|qq):.*$", "")
 
 
 def transform_ajax_url(url: Column) -> Column:
@@ -114,16 +122,31 @@ def transform_ajax_url(url: Column) -> Column:
     ).otherwise(url)
 
 
-def unwrap_redirect_target(url: Column) -> Column:
+# hosts whose urls are redirect wrappers worth unwrapping — the reference
+# parses targets ONLY for Baidu/Google log urls (uv_data.cc:191-200 calls
+# ParseBaiduTargetUrl/ParseGoogleTargetUrl per recognized engine); an
+# ungated unwrap would replace 'http://shop.com/item?url=42' with '42'
+REDIRECT_HOSTS = (
+    "www.baidu.com", "baidu.com",
+    "www.google.com", "google.com", "www.google.com.hk",
+)
+
+
+def unwrap_redirect_target(url: Column,
+                           hosts: tuple[str, ...] = REDIRECT_HOSTS) -> Column:
     """P13: extract the real target from search-engine redirect links
-    (…&url=<target>… / …&q=<target>…); pass-through otherwise."""
+    (…&url=<target>… / …&q=<target>…) on known engine hosts;
+    pass-through otherwise."""
     target = F.coalesce(
         F.nullif(F.regexp_extract(url, r"[?&]url=([^&#]+)", 1), F.lit("")),
         F.nullif(F.regexp_extract(url, r"[?&]q=(https?[^&#]+)", 1), F.lit("")),
     )
+    on_engine = F.try_parse_url(url, F.lit("HOST")).isin(list(hosts))
     # try_url_decode: one dirty log row with malformed percent-encoding
     # ('?url=a%2') must pass through, not fail the whole job
-    return F.coalesce(F.try_url_decode(target), target, url)
+    return F.when(
+        on_engine, F.coalesce(F.try_url_decode(target), target, url)
+    ).otherwise(url)
 
 
 # -- site paginator extension point (E4) ------------------------------------
@@ -210,15 +233,24 @@ def proxy_route(urls: DataFrame, ip_col: str = "ip",
                 proxy_domains: list[str] | None = None,
                 domain_col: str = "domain") -> DataFrame:
     """L3 (ip_url_split.cc:64-119): ips carrying ≥ threshold URLs (or
-    whitelisted domains) route via PROXY."""
+    whitelisted domains) route via PROXY. Unresolved rows (NULL ip)
+    BYPASS the window — a `when` guard alone would still shuffle them
+    all into the window's single NULL partition (one skewed task) and
+    mass-flag many small distinct hosts as one giant pseudo-ip."""
+    domain_proxy = (
+        F.col(domain_col).isin(proxy_domains) if proxy_domains
+        else F.lit(False)
+    )
+    nonnull = urls.filter(F.col(ip_col).isNotNull())
+    nulls = urls.filter(F.col(ip_col).isNull()).withColumn(
+        "use_proxy", F.when(domain_proxy, "PROXY").otherwise("DIRECT")
+    )
     w = Window.partitionBy(ip_col)
-    cnt = F.count("*").over(w)
-    is_proxy = cnt >= threshold
-    if proxy_domains:
-        is_proxy = is_proxy | F.col(domain_col).isin(proxy_domains)
-    return urls.withColumn(
+    is_proxy = (F.count("*").over(w) >= threshold) | domain_proxy
+    routed = nonnull.withColumn(
         "use_proxy", F.when(is_proxy, "PROXY").otherwise("DIRECT")
     )
+    return routed.unionByName(nulls)
 
 
 def ip_load_estimate(urls: DataFrame, ip_loads: DataFrame | None = None,

@@ -203,13 +203,20 @@ def simhash_candidates(
     id_col: str = "doc_id",
     sign_col: str = "simhash",
     max_hamming: int = DEFAULT_MAX_HAMMING,
+    max_bucket_size: int | None = 10_000,
 ) -> DataFrame:
     """Near-duplicate pairs within ``max_hamming`` bits (≤3 ⇒ the two-block
     key guarantees recall: 3 flipped bits leave ≥2 of 5 blocks intact, so
     some table pairs them). Returns (a, b, hamming) with a < b, distinct.
 
     Scale: the explode is ×10; the self-join shuffles on (table_id,
-    block_key) — ~26-bit keys spread uniformly, so no skew; the exact
+    block_key) — ~26-bit keys spread uniformly for DISTINCT signs, but
+    identical signs (boilerplate/empty pages) all share the same 10
+    buckets, and the self-join would expand each such bucket
+    quadratically. ``max_bucket_size`` drops those degenerate buckets
+    (same bound as dedup.lsh_candidates): members above the cap are
+    ~all mutual exact duplicates, better handled by an exact-dup
+    pre-pass (dedup.exact_duplicates on the sign itself). The exact
     hamming filter (bit_count, JVM intrinsic) runs only on bucket
     collisions.
     """
@@ -218,6 +225,17 @@ def simhash_candidates(
         F.col(sign_col).alias("sign"),
         F.explode(F.array(*block_keys(sign_col))).alias("k"),
     ).select("id", "sign", "k.table_id", "k.block_key")
+    if max_bucket_size is not None:
+        # hot keys are few by construction (each absorbs many rows) →
+        # broadcast anti-join; the count is a cheap partial-agg pass
+        hot = (
+            keyed.groupBy("table_id", "block_key").count()
+            .filter(F.col("count") > max_bucket_size)
+            .drop("count")
+        )
+        keyed = keyed.join(
+            F.broadcast(hot), ["table_id", "block_key"], "left_anti"
+        )
     left = keyed
     right = (
         keyed.withColumnRenamed("id", "id_b")

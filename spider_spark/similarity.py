@@ -38,7 +38,12 @@ def norm_expr(a: Column) -> Column:
 
 
 def cosine_expr(a: Column, b: Column) -> Column:
-    return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
+    """Zero-norm guard: 0.0/0.0 is NaN in Spark's double division, and
+    Spark sorts NaN ABOVE every real value — an all-zeros embedding would
+    rank as the #1 nearest neighbor in a desc top-k. Define cosine(0,·)=0
+    (the Python twin in knn_ivf guards identically)."""
+    denom = norm_expr(a) * norm_expr(b)
+    return F.when(denom == 0.0, F.lit(0.0)).otherwise(dot_expr(a, b) / denom)
 
 
 def knn_brute(emb: DataFrame, query_vec: list[float], k: int = 10,

@@ -276,18 +276,11 @@ def extract_outlinks_regex(docs: DataFrame) -> DataFrame:
 def span_signature(docs: DataFrame) -> DataFrame:
     """Stable per-doc signature of the full span sequence — the equality
     witness for the span-sequence invariant (kind, text, media_ref, order).
+
+    to_json serializes the struct array with field names, quoting and
+    explicit nulls — an empty-separator concat would let distinct
+    sequences collide (('ab','') vs ('a','b')) and skip NULL fields,
+    making the witness assert false equality.
     """
-    sig = F.sha2(
-        F.concat_ws(
-            "",
-            F.transform(
-                "spans",
-                lambda s: F.concat_ws(
-                    "", s["kind"], s["text"], s["media_ref"],
-                    s["offset"].cast("string")
-                ),
-            ),
-        ),
-        256,
-    )
+    sig = F.sha2(F.to_json(F.col("spans")), 256)
     return docs.select("doc_id", sig.alias("span_sig"))

@@ -132,20 +132,24 @@ def stateful_host_budget_stream(stream: DataFrame, total_cap: int,
         host = key[0]
         admitted = state.get[0] if state.exists else 0
         outs = []
-        for pdf in pdf_iter:
-            room = total_cap - admitted
-            if room <= 0:
-                continue
-            # vectorized head: sort the Arrow batch once, slice the room
-            take = np.sort(pdf[url_col].to_numpy())[:room]
+        # concatenate the group's Arrow chunks BEFORE sorting: slicing
+        # each chunk independently would make which urls consume the
+        # lifetime cap depend on chunk boundaries — not the documented
+        # deterministic (url) order (determinism rule §4)
+        chunks = [pdf for pdf in pdf_iter if len(pdf)]
+        room = total_cap - admitted
+        if chunks and room > 0:
+            urls = np.sort(
+                np.concatenate([c[url_col].to_numpy() for c in chunks])
+            )[:room]
             outs.append(pd.DataFrame({
                 host_col: host,
-                url_col: take,
+                url_col: urls,
                 "n_admitted_so_far": np.arange(
-                    admitted + 1, admitted + len(take) + 1, dtype=np.int32
+                    admitted + 1, admitted + len(urls) + 1, dtype=np.int32
                 ),
             }))
-            admitted += len(take)
+            admitted += len(urls)
         state.update((admitted,))
         if outs:
             yield pd.concat(outs, ignore_index=True)

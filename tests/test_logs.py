@@ -156,3 +156,22 @@ def test_pv_combine_merges_rounds(spark):
     # per-uid rows are ts-ordered within their partition
     part = out.filter(F.col("uid") == "u1").collect()
     assert [r["ts"] for r in part] == sorted(r["ts"] for r in part)
+
+
+def test_search_click_join_composite_key(spark):
+    """J6 full composite (search_pv_clk.cc:20-56): when pv rows carry the
+    query, a click is attributed ONLY to its own query — not crossed to
+    every query the user issued for that url."""
+    search = spark.createDataFrame(
+        [(1, "http://u/", "qa", 1), (1, "http://u/", "qb", 2)],
+        "uid long, url string, query string, rank int",
+    )
+    pv = spark.createDataFrame(
+        [(1, "http://u/", "qa", 3.5)],
+        "uid long, url string, query string, dwell double",
+    )
+    out = logs.search_click_join(search, pv).collect()
+    assert len(out) == 1 and out[0]["query"] == "qa"
+    # reduced pv shape (no query col) degrades to (uid, url)
+    pv2 = pv.drop("query")
+    assert logs.search_click_join(search, pv2).count() == 2

@@ -59,8 +59,13 @@ def test_url_transforms(spark):
         [
             ("http://x.com/a TEL:12345",),
             ("http://x.com/page#!/sec/1",),
-            ("http://g.com/r?url=http%3A%2F%2Ftarget.com%2Fp",),
+            ("http://www.baidu.com/link?url=http%3A%2F%2Ftarget.com%2Fp",),
             ("http://plain.com/x",),
+            # NOT a redirect host: the url= param must NOT replace the url
+            ("http://shop.com/item?url=42",),
+            # mixed-case Tel: is NOT stripped (reference matches the four
+            # exact-case literals only, mr_selector_r1_mapper.cc:374-387)
+            ("http://en.example.org/wiki/Tel:_A_Novel",),
         ],
         "url string",
     )
@@ -73,6 +78,8 @@ def test_url_transforms(spark):
     assert out[1]["t2"] == "http://x.com/page?_escaped_fragment_=/sec/1"
     assert out[2]["t3"] == "http://target.com/p"
     assert out[3]["t3"] == "http://plain.com/x"
+    assert out[4]["t3"] == "http://shop.com/item?url=42"
+    assert out[5]["t1"] == "http://en.example.org/wiki/Tel:_A_Novel"
 
 
 def test_dns_and_ip_attach(spark):
@@ -153,3 +160,31 @@ def test_crawl_success_eval(spark):
            for r in sel.crawl_success_eval(topn, crawled).collect()}
     assert out[0] == 1.0
     assert out[1] == 0.0
+
+
+def test_search_page_null_query_is_page_one(spark):
+    """A search-host row with NULL query (the engine homepage) is page 1,
+    not silently dropped by the NULL propagating through the filter."""
+    df = spark.createDataFrame(
+        [("http://www.google.com/", "www.google.com", None),
+         ("http://www.google.com/search", "www.google.com", "start=50")],
+        "url string, host string, query string",
+    )
+    kept = sel.keep_first_n_search_pages(df, n=3).collect()
+    assert {r["url"] for r in kept} == {"http://www.google.com/"}
+
+
+def test_proxy_route_null_ips_bypass_window(spark):
+    """Unresolved (NULL ip) rows must not pool into one pseudo-ip group:
+    they bypass the window (DIRECT unless domain-whitelisted) and the
+    window's input subtree filters to non-null ips."""
+    rows = [(f"u{i}", None if i < 6 else "9.9.9.9", "x.com")
+            for i in range(10)]
+    urls = spark.createDataFrame(
+        rows, "o string, ip string, domain string")
+    out = sel.proxy_route(urls, threshold=3)
+    got = {(r["o"]): r["use_proxy"] for r in out.collect()}
+    assert all(got[f"u{i}"] == "DIRECT" for i in range(6))   # nulls bypass
+    assert all(got[f"u{i}"] == "PROXY" for i in range(6, 10))  # 4 >= 3
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "isnotnull(ip" in plan, plan

@@ -174,3 +174,20 @@ def test_assign_simhash_onto_linkbase(spark):
     assert out["http://a.com/3"][0] == 0
     assert out["http://a.com/1"][0] != 0
     assert all(0 <= s < 8 for _, s in out.values())
+
+
+def test_simhash_candidates_bucket_cap(spark):
+    """Degenerate buckets (identical signs from boilerplate pages) are
+    skipped under max_bucket_size instead of expanding quadratically;
+    distinct-but-close signs still pair."""
+    from pyspark.sql import functions as F
+
+    rows = [(i, 0xDEADBEEF) for i in range(8)]  # identical signs
+    rows += [(100, 0x12345678), (101, 0x12345679)]  # hamming 1
+    docs = spark.createDataFrame(rows, "doc_id long, simhash long")
+    capped = sh.simhash_candidates(docs, max_bucket_size=4)
+    pairs = {(r["a"], r["b"]) for r in capped.collect()}
+    assert (100, 101) in pairs
+    assert not any(a < 8 and b < 8 for a, b in pairs)
+    full = sh.simhash_candidates(docs, max_bucket_size=None)
+    assert {(r["a"], r["b"]) for r in full.collect()} >= pairs | {(0, 1)}

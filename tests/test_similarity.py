@@ -72,3 +72,18 @@ def test_knn_ivf_plan_shuffle_free(emb, query):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan, plan
     assert "hashpartitioning" not in plan, plan
+
+
+def test_zero_vector_never_tops_knn(spark):
+    """cosine(0, q) is defined as 0, not NaN — Spark sorts NaN above every
+    real value, so an unguarded 0/0 would rank an all-zeros embedding as
+    the #1 neighbor."""
+    from pyspark.sql import functions as F
+
+    rows = [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.0, 0.0]),
+            (3, [0.5, 0.5])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    top = sim.knn_brute(emb, [1.0, 0.0], k=2).collect()
+    assert [r["vec_id"] for r in top] == [0, 1]
+    zero_row = sim.knn_brute(emb, [1.0, 0.0], k=4).collect()[-1]
+    assert zero_row["vec_id"] == 2 and zero_row["cosine"] == 0.0
