@@ -857,13 +857,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 _STOPWORDS_SQL = "['a','and','das','de','der','die','el','et','la','le','of','que','the','to','und','y','zu']"
 
-_TOKENS = "regexp_split_to_array(trim(text), '\\s+')"
-_LTOKENS = "regexp_split_to_array(trim(lower(text)), '\\s+')"
+# coalesce(text,''): the engine treats NULL text as empty (token_count
+# contract "0 for empty/null"; detect_language → 'und')
+_TOKENS = "regexp_split_to_array(trim(coalesce(text, '')), '\\s+')"
+_LTOKENS = "regexp_split_to_array(trim(lower(coalesce(text, ''))), '\\s+')"
 
 
 def _quality_sql() -> str:
     """SQL twin of textstats.quality_score."""
-    n_tok = f"(CASE WHEN len(trim(text)) = 0 THEN 0 ELSE len({_TOKENS}) END)"
+    n_tok = (f"(CASE WHEN len(trim(coalesce(text, ''))) = 0 THEN 0 "
+             f"ELSE len({_TOKENS}) END)")
     sw = (f"len(list_filter({_LTOKENS}, "
           f"x -> list_contains({_STOPWORDS_SQL}, x)))")
     sw_ratio = f"({sw}::DOUBLE / greatest({n_tok}, 1))"
@@ -894,7 +897,8 @@ def oracle_sql() -> dict[str, str]:
         f"WHEN {c['es']} = greatest({c['de']},{c['en']},{c['es']},{c['fr']}) THEN 'es' "
         f"ELSE 'fr' END"
     )
-    n_tok = f"(CASE WHEN len(trim(text)) = 0 THEN 0 ELSE len({_TOKENS}) END)"
+    n_tok = (f"(CASE WHEN len(trim(coalesce(text, ''))) = 0 THEN 0 "
+             f"ELSE len({_TOKENS}) END)")
     return {
         "uv_scores": """
             SELECT event_type, ROUND(SUM(mx), 4) AS uv, COUNT(*) AS n_users
@@ -1077,13 +1081,18 @@ def oracle_sql() -> dict[str, str]:
         """,
         "minhash_near_dups": """
             WITH sh AS (
+              -- blank docs get EMPTY gram sets (engine grams_of): an
+              -- empty-vs-empty pair then yields 0/0 = NULL jaccard and is
+              -- filtered, matching the engine, instead of [''] vs ['']
+              -- scoring 1.0
               SELECT doc_id,
-                     list_distinct(list_transform(
+                     CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN []
+                     ELSE list_distinct(list_transform(
                        range(1, greatest(len(regexp_split_to_array(trim(text),
                          '\\s+')) - 2, 1) + 1),
                        i -> array_to_string(regexp_split_to_array(trim(text),
                          '\\s+')[i:i+2], ' ')
-                     )) AS grams
+                     )) END AS grams
               FROM documents),
             pairs AS (
               SELECT a.doc_id AS a, b.doc_id AS b,
@@ -1109,15 +1118,19 @@ def oracle_sql() -> dict[str, str]:
         """,
         "knn_cosine": """
             WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
-                       FROM embeddings WHERE vec_id = 0)
-            SELECT vec_id,
-                   ROUND(list_cosine_similarity(
-                     CAST(embedding AS DOUBLE[]), q.qv), 4) AS cosine
-            FROM embeddings, q
-            WHERE vec_id != 0
-            ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]), q.qv)
-              DESC, vec_id
-            LIMIT 10
+                       FROM embeddings WHERE vec_id = 0),
+            -- zero-norm guard: engine cosine_expr defines cosine(0,.)=0;
+            -- DuckDB's list_cosine_similarity returns -1.0 there
+            scored AS (
+              SELECT vec_id,
+                     CASE WHEN list_inner_product(
+                            CAST(embedding AS DOUBLE[]),
+                            CAST(embedding AS DOUBLE[])) = 0 THEN 0.0
+                     ELSE list_cosine_similarity(
+                            CAST(embedding AS DOUBLE[]), q.qv) END AS c
+              FROM embeddings, q WHERE vec_id != 0)
+            SELECT vec_id, ROUND(c, 4) AS cosine
+            FROM scored ORDER BY c DESC, vec_id LIMIT 10
         """,
         "proxy_route": """
             WITH counts AS (
@@ -1346,15 +1359,19 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ann_ivf": """
             WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
-                       FROM embeddings WHERE vec_id = 0)
-            SELECT vec_id,
-                   ROUND(list_cosine_similarity(
-                     CAST(embedding AS DOUBLE[]), q.qv), 4) AS cosine
-            FROM embeddings, q
-            WHERE vec_id != 0
-            ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]), q.qv)
-              DESC, vec_id
-            LIMIT 10
+                       FROM embeddings WHERE vec_id = 0),
+            -- zero-norm guard: engine cosine_expr defines cosine(0,.)=0;
+            -- DuckDB's list_cosine_similarity returns -1.0 there
+            scored AS (
+              SELECT vec_id,
+                     CASE WHEN list_inner_product(
+                            CAST(embedding AS DOUBLE[]),
+                            CAST(embedding AS DOUBLE[])) = 0 THEN 0.0
+                     ELSE list_cosine_similarity(
+                            CAST(embedding AS DOUBLE[]), q.qv) END AS c
+              FROM embeddings, q WHERE vec_id != 0)
+            SELECT vec_id, ROUND(c, 4) AS cosine
+            FROM scored ORDER BY c DESC, vec_id LIMIT 10
         """,
         # simhash_signs, simhash_assign, url_shards, interleaved_outlinks,
         # ip_attach: hash-based / generator-native → rows-only

@@ -32,7 +32,9 @@ from pyspark.sql.types import ArrayType, LongType
 def exact_duplicates(docs: DataFrame, id_col: str = "doc_id",
                      text_col: str = "text") -> DataFrame:
     """Groups of byte-identical docs: (content_md5, n_docs, keep_id,
-    dup_ids). ``keep_id`` = min id (deterministic canonical survivor)."""
+    all_ids). ``keep_id`` = min id (deterministic canonical survivor);
+    ``all_ids`` is the FULL sorted member list INCLUDING keep_id — a
+    deletion job must subtract keep_id, not delete the whole list."""
     return (
         docs.select(F.col(id_col).alias("id"),
                     F.md5(F.col(text_col)).alias("content_md5"))
@@ -63,9 +65,16 @@ MINHASH_PRIME = (1 << 61) - 1
 
 
 def _hash_params(k: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
+    # a, b < 2^31 and shingle hashes masked to 32 bits (see
+    # _shingle_hashes): a*x + b < 2^63 + 2^31 fits uint64 EXACTLY, so the
+    # mod-p runs on the true product. Drawing a, b up to p ≈ 2^61 (the
+    # obvious choice) silently wraps a*x mod 2^64 before the mod-p,
+    # destroying the pairwise-independence the Mersenne prime is for —
+    # P(minhash collision) then ≠ Jaccard and the banding recall math in
+    # lsh_candidates no longer holds as designed.
     rng = np.random.RandomState(seed)  # deterministic by seed
-    a = rng.randint(1, MINHASH_PRIME, size=k, dtype=np.int64)
-    b = rng.randint(0, MINHASH_PRIME, size=k, dtype=np.int64)
+    a = rng.randint(1, 1 << 31, size=k, dtype=np.int64)
+    b = rng.randint(0, 1 << 31, size=k, dtype=np.int64)
     return a, b
 
 
@@ -78,7 +87,10 @@ def _shingle_hashes(text: str, n: int) -> np.ndarray:
     if not grams:
         return np.zeros(0, dtype=np.uint64)
     uniq = set(grams)
-    return np.fromiter(
+    # 32-bit shingle universe (mask): keeps a*x+b inside uint64 for the
+    # exact mod-p universal hash (see _hash_params); 2^32 shingle ids is
+    # ample for per-doc sets of a few thousand grams
+    full = np.fromiter(
         (
             int.from_bytes(
                 hashlib.blake2b(g.encode("utf-8", "ignore"),
@@ -88,6 +100,7 @@ def _shingle_hashes(text: str, n: int) -> np.ndarray:
         dtype=np.uint64,
         count=len(uniq),
     )
+    return full & np.uint64(0xFFFFFFFF)
 
 
 def make_minhash_udf(k: int = 128, shingle: int = 3, seed: int = 42):
@@ -118,7 +131,7 @@ def make_minhash_udf(k: int = 128, shingle: int = 3, seed: int = 42):
 def lsh_candidates(docs: DataFrame, id_col: str = "doc_id",
                    text_col: str = "text", k: int = 128, bands: int = 32,
                    shingle: int = 3, seed: int = 42,
-                   max_bucket_size: int = 10_000) -> DataFrame:
+                   max_bucket_size: int = 1_000) -> DataFrame:
     """MinHash-LSH candidate pairs: k minhashes banded into ``bands`` rows
     of k/bands; docs sharing any band bucket become candidates.
     Returns distinct (a, b).
@@ -127,7 +140,10 @@ def lsh_candidates(docs: DataFrame, id_col: str = "doc_id",
     array for one (band, bucket) group is materialized as a single row
     value before explode, so a degenerate bucket (e.g. 100k empty or
     boilerplate-identical docs hashing to one bucket) would allocate
-    |ids|² structs in one task. Buckets above the cap are SKIPPED — their
+    |ids|² structs in one task — the default cap of 1000 bounds that
+    single-row allocation to ~10⁶ structs (a cap of 10k would already
+    permit ~10⁸, multi-GB in one UnsafeArrayData). Buckets above the
+    cap are SKIPPED — their
     members still pair through every other band (b-1 more chances), and a
     bucket that large is ~all mutual near-dups, better handled by an
     exact-dup pass (md5 groupBy) first. This cap is an explicit coverage
@@ -262,6 +278,9 @@ def embedding_near_duplicates(emb: DataFrame, id_col: str = "vec_id",
     from .similarity import _deterministic_planes, cosine_expr, dot_expr
 
     first = emb.select(F.size(vec_col).alias("d")).first()
+    if first is None:  # empty input → empty result, not a TypeError
+        return emb.sparkSession.createDataFrame(
+            [], "a long, b long, cosine double")
     dim = int(first["d"])
     planes = _deterministic_planes(dim, n_bands * band_planes, seed)
 

@@ -24,11 +24,13 @@ def write_fetch_tasks(scheduled: DataFrame, out_dir: str,
     fetcher nodes (T4), cut fixed-size task chunks per fetcher (T5), and
     write partitioned by (fetcher_id, task_id). ``scheduled`` needs
     (url, ip, cost) — cost from selector.ip_load_estimate."""
-    ip_costs = scheduled.groupBy(ip_col).agg(
+    # binpack_fetchers expects the canonical (ip, cost) names — alias
+    # here so a non-default ip_col/cost_col actually works
+    ip_costs = scheduled.groupBy(F.col(ip_col).alias("ip")).agg(
         F.sum(cost_col).alias("cost")
     )
     packed = binpack_fetchers(ip_costs, n_fetchers).select(
-        ip_col, "fetcher_id"
+        F.col("ip").alias(ip_col), "fetcher_id"
     )
     routed = scheduled.join(F.broadcast(packed), ip_col, "left").withColumn(
         "fetcher_id", F.coalesce(F.col("fetcher_id"), F.lit(0))

@@ -27,10 +27,14 @@ def tokens(text: Column) -> Column:
 
 
 def token_count(text: Column) -> Column:
-    """Whitespace token count (0 for empty/null)."""
+    """Whitespace token count (0 for empty/null). NULL text must coalesce
+    BEFORE the length test — length(trim(NULL)) is NULL, the WHEN
+    condition would be neither true nor false, and the count would come
+    out NULL against the documented contract."""
+    t = F.coalesce(text, F.lit(""))
     return F.when(
-        F.length(F.trim(text)) == 0, F.lit(0)
-    ).otherwise(F.size(tokens(text)))
+        F.length(F.trim(t)) == 0, F.lit(0)
+    ).otherwise(F.size(tokens(t)))
 
 
 def bpe_ish_token_count(text: Column) -> Column:
@@ -62,8 +66,10 @@ def quality_score(text: Column) -> Column:
 
 def detect_language(text: Column) -> Column:
     """n-gram-free language ID heuristic: argmax of per-language stopword
-    hits; 'und' when nothing matches. CASE-chain over tiny data tables."""
-    toks = tokens(F.lower(text))
+    hits; 'und' when nothing matches (including NULL text — coalesced so
+    the NULL can't leak through a CASE chain differently than the DuckDB
+    twin, whose all-NULL comparisons fall to the ELSE branch)."""
+    toks = tokens(F.lower(F.coalesce(text, F.lit(""))))
     counts = {
         lang: F.size(
             F.filter(
