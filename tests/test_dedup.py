@@ -130,3 +130,11 @@ def test_lsh_bucket_cap_bounds_pair_expansion(spark):
     full = dedup.lsh_candidates(docs)
     assert {(r["a"], r["b"]) for r in full.collect()} >= {(100, 101)} and \
         full.count() == 28 + 1
+
+
+def test_embedding_near_dup_empty_input(spark):
+    """Empty embeddings table yields an empty pair frame, not TypeError."""
+    emb = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    out = dedup.embedding_near_duplicates(emb)
+    assert out.count() == 0
+    assert set(out.columns) == {"a", "b", "cosine"}

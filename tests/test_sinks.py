@@ -61,3 +61,20 @@ def test_bad_page_filter(spark):
     bad = spark.createDataFrame([(222,)], "bad_sign long")
     kept = {r["doc_id"] for r in sel.bad_page_filter(docs, bad).collect()}
     assert kept == {1, 3}
+
+
+def test_write_fetch_tasks_custom_ip_col(spark, tmp_path):
+    """A non-default ip_col must work end-to-end (the bin-pack stage
+    expects canonical (ip, cost) names internally)."""
+    from spider_spark import sinks
+
+    scheduled = spark.createDataFrame(
+        [(f"http://h{i % 4}/p", f"ip-{i % 4}", 1.0) for i in range(40)],
+        "url string, host_ip string, cost double",
+    )
+    out = str(tmp_path / "tasks2")
+    sinks.write_fetch_tasks(scheduled, out, n_fetchers=2, chunk_size=10,
+                            ip_col="host_ip")
+    back = spark.read.parquet(out)
+    assert back.count() == 40
+    assert back.select("fetcher_id").distinct().count() <= 2

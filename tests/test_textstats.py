@@ -61,3 +61,15 @@ def test_corpus_stats(spark):
     assert out["en"]["n_docs"] == 2
     assert out["en"]["total_tokens"] == 6
     assert out["fr"]["total_tokens"] == 2
+
+
+def test_token_count_null_text_is_zero(spark):
+    """Documented contract: 0 for empty AND null text (a bare
+    length(trim(NULL)) check returns NULL instead)."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(None,), ("",), ("  ",), ("a b",)], "text string")
+    got = [r["n"] for r in
+           df.select(ts.token_count(F.col("text")).alias("n")).collect()]
+    assert got == [0, 0, 0, 2]
