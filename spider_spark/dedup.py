@@ -73,9 +73,14 @@ def _hash_params(k: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
     # sharing common grams band-collide regardless of Jaccard (measured
     # 30x spurious candidates on the sf0.1 corpus).
     rng = np.random.RandomState(seed)  # deterministic by seed
-    a = rng.randint(0, 1 << 62, size=k, dtype=np.int64).astype(np.uint64)
-    a = a * np.uint64(2) + np.uint64(1)  # odd, spans the full 64-bit range
-    b = rng.randint(0, 1 << 62, size=k, dtype=np.int64).astype(np.uint64)
+    # a: uniform odd 64-bit value composed from two 32-bit draws (a single
+    # randint(0, 2^62)*2+1 draw never sets the top bit — half the family)
+    a_hi = rng.randint(0, 1 << 32, size=k, dtype=np.int64).astype(np.uint64)
+    a_lo = rng.randint(0, 1 << 32, size=k, dtype=np.int64).astype(np.uint64)
+    a = (a_hi << np.uint64(32)) | a_lo | np.uint64(1)
+    b_hi = rng.randint(0, 1 << 32, size=k, dtype=np.int64).astype(np.uint64)
+    b_lo = rng.randint(0, 1 << 32, size=k, dtype=np.int64).astype(np.uint64)
+    b = (b_hi << np.uint64(32)) | b_lo
     return a, b
 
 

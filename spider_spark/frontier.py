@@ -80,10 +80,6 @@ def fetched_status_barrier(frontier: DataFrame, status: DataFrame,
 # Scale-safe global ranking: range partitioning + partition prefix sums
 # --------------------------------------------------------------------------
 
-# last persisted range-partitioned input (see the unpersist note below)
-_RANGED_LIVE: list = []
-
-
 def _range_prefixed(df: DataFrame, sort_cols: list, agg_col,
                     n_partitions: int | None = None):
     """Range-partition ``df`` by ``sort_cols`` and attach, per row, the
@@ -97,33 +93,26 @@ def _range_prefixed(df: DataFrame, sort_cols: list, agg_col,
     back as a broadcast join. Within-partition windows then run on
     ``_pid`` — every task bounded by one range partition.
 
-    The df is persisted (two jobs read it: the totals collect and the
-    caller's query) so ``_pid`` assignment — which AQE could otherwise
-    re-coalesce differently per job — is computed exactly once. At crawl
-    scale this materialization is the frontier snapshot the round writes
-    anyway. Returns (persisted_df_with_pid_and_prefix, grand_total).
+    ``_pid`` must be computed EXACTLY once: a recompute (AQE may coalesce
+    the range shuffle differently per job) would pair rows with driver
+    offsets collected under a different partitioning. An eager
+    ``localCheckpoint`` enforces that by construction — lineage is
+    truncated, so the partitioning can never silently re-derive; block
+    loss (executor death) fails the job loudly instead. Lifetime is tied
+    to the returned DataFrame: the ContextCleaner frees the checkpoint
+    blocks when it is garbage-collected, so interleaved or repeated
+    ranking calls (bench reps, driver queries) neither leak pinned cache
+    nor unpin a plan that is still unevaluated. At crawl scale this
+    materialization is the frontier snapshot the round writes anyway.
+    Returns (checkpointed_df_with_pid_and_prefix, grand_total).
     """
     spark = df.sparkSession
     n_part = n_partitions or spark.sparkContext.defaultParallelism * 2
     ranged = (
         df.repartitionByRange(n_part, *sort_cols)
         .withColumn("_pid", F.spark_partition_id())
-        .persist()
+        .localCheckpoint(eager=True)
     )
-    # bound the cache footprint: Spark's CacheManager pins persisted data
-    # until an explicit unpersist, so back-to-back ranking calls (bench
-    # reps, repeated driver queries) would otherwise each leak a full
-    # cached copy of their input for the session lifetime. A depth-2
-    # window is kept so the common interleave `p1 = band(...); p2 =
-    # binpack(...); p1.collect()` never unpins a plan that is still
-    # unevaluated. Contract for deeper interleaving: evaluate a ranking
-    # result before issuing a THIRD ranking call (true for the driver,
-    # bench.py, check_oracle and the round) — unpinning an unevaluated
-    # plan would let its _pid assignment recompute differently from the
-    # collected totals.
-    while len(_RANGED_LIVE) >= 2:
-        _RANGED_LIVE.pop(0).unpersist()
-    _RANGED_LIVE.append(ranged)
     totals = {
         r["_pid"]: r["t"]
         for r in ranged.groupBy("_pid").agg(agg_col.alias("t")).collect()

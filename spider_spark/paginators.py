@@ -118,7 +118,10 @@ def build_next_list_pages(df: DataFrame, url_col: str = "url",
     Gates mirror the extractor (extractor.cc:455-551): a page is only
     fanned out if it reports >1 pages and its url is NOT itself a built
     pagination url (the ``s=`` / JD-extra / suning-extra markers), so the
-    fan-out cannot cascade. ``max_build`` is FLAGS_build_max_n_url.
+    fan-out cannot cascade. ``max_build`` is FLAGS_build_max_n_url and
+    caps ONLY the taobao/tmall branches — the extractor passes
+    ``page_num-1`` uncapped to GetJingDongNextUrl / GetSuNingNextUrl
+    (extractor.cc:521,546; url_util.cc:1030,1066).
     """
     url = F.col(url_col)
     page_num = F.col(page_num_col)
@@ -143,17 +146,17 @@ def build_next_list_pages(df: DataFrame, url_col: str = "url",
     jd_tail = F.when(url.rlike(_JD_APPLIANCE_RE), F.lit("-1-72-33.html")) \
                .otherwise(F.lit(".html"))
     jd_urls = F.transform(
-        F.sequence(F.lit(2), F.least(page_num, F.lit(max_build + 1))),
+        F.sequence(F.lit(2), page_num),
         lambda i: F.concat(
             F.regexp_replace(url, r"\.html$", ""),
             F.lit(_JD_EXTRA), i.cast("string"), jd_tail,
         ),
-    )  # url_util.cc:1028-1039: i in [2, 2+(page_num-1))
+    )  # url_util.cc:1028-1039: i in [2, 2+(page_num-1)) — uncapped
     suning_urls = F.transform(
-        F.sequence(F.lit(1), n_cap),
+        F.sequence(F.lit(1), page_num - 1),
         lambda i: F.concat(url, F.lit("&cp="), i.cast("string"),
                            F.lit(_SUNING_EXTRA)),
-    )  # url_util.cc:1069-1071
+    )  # url_util.cc:1069-1071: i in [1, 1+(page_num-1)) — uncapped
 
     built = (
         F.when(taobao_ok, _offset_next_urls(url, n_cap, 96))

@@ -552,7 +552,20 @@ class CrawlRun:
             return
         with open(path) as f:
             recorded = json.load(f).get("spec")
-        if recorded is None:  # pre-fingerprint checkpoint
+        if recorded is None:
+            # pre-fingerprint checkpoint: still guard the one schema change
+            # run_round depends on — a frontier without the 'vip' column
+            # would otherwise die later with an opaque unresolved-column
+            # AnalysisException instead of a resume error
+            last = self.last_committed_round()
+            if last is not None and "vip" not in self._read(
+                last, "frontier"
+            ).columns:
+                raise ValueError(
+                    f"checkpoint at {self.ckpt} predates the frontier 'vip' "
+                    "column (and records no state-layout spec); re-bootstrap "
+                    "or backfill vip=false before resuming"
+                )
             return
         current = self._spec_fingerprint()
         if recorded != current:

@@ -136,7 +136,11 @@ def test_batch_priority_band_no_single_partition_exchange(spark):
     )
     plan = _physical_plan(fr.batch_priority_band(df, "uv"))
     assert "SinglePartition" not in plan, plan
-    assert "rangepartitioning" in plan.lower(), plan
+    # the range shuffle happens at checkpoint materialization (lineage
+    # truncated — _pid can never recompute); downstream reads the
+    # checkpointed RDD and windows per _pid
+    assert "ExistingRDD" in plan, plan
+    assert "windowspecdefinition(_pid" in plan, plan
 
 
 def test_binpack_no_single_partition_exchange(spark):
@@ -185,3 +189,46 @@ def test_binpack_exact_vs_serial_cumsum(spark):
         cum += c
         want[ip] = min(int((cum - c / 2) // per_node), 7)
     assert got == want
+
+
+def test_hash_params_top_bit_coverage():
+    """_hash_params draws uniform odd 64-bit multipliers — the top bit must
+    be set for ~half the family (a randint(0,2^62)*2+1 draw never sets it)."""
+    import numpy as np
+
+    from spider_spark.dedup import _hash_params
+
+    a, b = _hash_params(256, seed=42)
+    assert np.all(a % 2 == 1)
+    top = int(np.count_nonzero(a >> np.uint64(63)))
+    assert 64 <= top <= 192  # ~binomial(256, .5)
+    assert int(np.count_nonzero(b >> np.uint64(63))) > 0
+
+
+def test_interleaved_ranking_calls_stay_exact(spark):
+    """Three lazy ranking results built BEFORE any is evaluated (the
+    ADVICE _RANGED_LIVE scenario): with checkpoint-backed _pid, late
+    evaluation cannot recompute partition ids against stale offsets."""
+    import random
+
+    rnd = random.Random(3)
+    rows = [(f"http://x.com/{i}", float(rnd.randint(0, 50))) for i in range(500)]
+    df = spark.createDataFrame(rows, "url string, uv double")
+    costs = spark.createDataFrame(
+        [(f"ip-{i}", float(rnd.randint(1, 100))) for i in range(300)],
+        "ip string, cost double",
+    )
+    p1 = fr.batch_priority_band(df, "uv")
+    p2 = fr.binpack_fetchers(costs, n_fetchers=4)
+    p3 = fr.batch_priority_band(df.withColumn("uv", F.col("uv") + 1), "uv")
+    # evaluate in reverse build order
+    got3 = {r["url"]: r["priority"] for r in p3.collect()}
+    got2 = p2.groupBy("fetcher_id").count().count()
+    got1 = {r["url"]: r["priority"] for r in p1.collect()}
+    srt = sorted(rows, key=lambda t: (-t[1], t[0]))
+    n = len(srt)
+    want = {}
+    for rank, (u, _) in enumerate(srt):
+        pr = rank / (n - 1)
+        want[u] = 4 if pr <= 0.05 else (3 if pr <= 0.85 else 2)
+    assert got1 == want and got3 == want and got2 == 4

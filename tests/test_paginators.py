@@ -146,3 +146,17 @@ def test_taobao_pc_to_mobile(spark):
         None,
         None,
     ]
+
+
+def test_jd_suning_uncapped_beyond_max_build(spark):
+    # extractor.cc:521,546 passes page_num-1 UNCAPPED to the JD/suning
+    # builders; FLAGS_build_max_n_url caps only taobao/tmall
+    jd = "http://www.360buy.com/products/670-671-672.html"
+    sn = "http://search.suning.com/emall/strd.do?ci=2&cityId=9"
+    got = _built(spark, [(jd, 7), (sn, 7)], max_build=3)
+    assert len({t for t in got if t[1] == "jingdong"}) == 6  # pages 2..7
+    assert len({t for t in got if t[1] == "suning"}) == 6    # cp 1..6
+    # taobao stays capped at max_build
+    tb = "http://list.taobao.com/market/x.htm?cat=1"
+    got_tb = _built(spark, [(tb, 7)], max_build=3)
+    assert len(got_tb) == 2  # min(7, 3) - 1

@@ -788,3 +788,34 @@ def test_compaction_swap_crash_mid_rename(spark, tmp_path_factory,
     if crashed:
         assert floor >= 0  # recovery finalized the compaction
     assert baseline_rows >= lb.count()
+
+
+def test_resume_pre_fingerprint_without_vip_raises(spark, world,
+                                                   tmp_path_factory):
+    """A pre-fingerprint checkpoint (manifest without 'spec') whose frontier
+    predates the vip column must fail resume with a descriptive error, not
+    an unresolved-column AnalysisException mid-round."""
+    import json
+    import os
+
+    docs, robots, _, _ = world
+    ck = str(tmp_path_factory.mktemp("ck_prefp"))
+    short = RoundSpec(n_buckets=8, max_depth=2, max_rounds=1, politeness=PSPEC)
+    seeds_df = spark.createDataFrame([(u,) for u in SEEDS], "url string")
+    run = CrawlRun(spark, docs, robots, ck, short)
+    run.run(seeds_df)
+    last = run.last_committed_round()
+    # rewrite the checkpoint as a legacy one: strip the fingerprint and the
+    # vip column from the live frontier
+    mf = os.path.join(ck, "round=0000", "manifest.json")
+    with open(mf) as f:
+        m = json.load(f)
+    m.pop("spec", None)
+    with open(mf, "w") as f:
+        json.dump(m, f)
+    fdir = os.path.join(ck, f"round={last:04d}", "frontier")
+    legacy = spark.read.parquet(fdir).drop("vip").cache()
+    legacy.count()
+    legacy.write.mode("overwrite").parquet(fdir)
+    with pytest.raises(ValueError, match="vip"):
+        CrawlRun(spark, docs, robots, ck, short).run(seeds_df, resume=True)
