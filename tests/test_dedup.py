@@ -138,3 +138,43 @@ def test_embedding_near_dup_empty_input(spark):
     out = dedup.embedding_near_duplicates(emb)
     assert out.count() == 0
     assert set(out.columns) == {"a", "b", "cosine"}
+
+
+def test_embedding_bucket_cap_bounds_degenerate_corpus(spark):
+    """An all-identical corpus collides into ONE (band, key) bucket per
+    band — the cap must drop those buckets (bounded join) while a normal
+    planted pair in the same table still pairs."""
+    import numpy as np
+
+    rng = np.random.RandomState(5)
+    v0 = [float(x) for x in rng.normal(size=16)]
+    rows = [(i, v0) for i in range(20)]  # degenerate: 20 identical vectors
+    w = rng.normal(size=16)
+    rows += [(100, [float(x) for x in w]), (101, [float(x) for x in w])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = dedup.embedding_near_duplicates(emb, threshold=0.99,
+                                          max_bucket_size=10)
+    got = {(r["a"], r["b"]) for r in out.collect()}
+    assert (100, 101) in got
+    assert not any(a < 20 and b < 20 for a, b in got)
+    # uncapped, the degenerate block pairs fully: C(20,2) + 1
+    full = dedup.embedding_near_duplicates(emb, threshold=0.99,
+                                           max_bucket_size=None)
+    assert full.count() == 190 + 1
+
+
+def test_embedding_near_dup_null_and_ragged_vectors(spark):
+    """NULL first row / empty / wrong-dim vectors must not crash the dim
+    probe (ADVICE r2) and are excluded from pairing."""
+    import numpy as np
+
+    rng = np.random.RandomState(9)
+    v = [float(x) for x in rng.normal(size=16)]
+    rows = [(0, None), (1, []), (2, v[:8]), (3, v), (4, v)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = dedup.embedding_near_duplicates(emb, threshold=0.99)
+    assert {(r["a"], r["b"]) for r in out.collect()} == {(3, 4)}
+    # all-null table → empty result, not TypeError
+    nulls = spark.createDataFrame([(0, None), (1, [])],
+                                  "vec_id long, embedding array<double>")
+    assert dedup.embedding_near_duplicates(nulls).count() == 0
