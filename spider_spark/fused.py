@@ -15,10 +15,16 @@ candidates BEFORE the stage (broadcast-sized dims), so the kernel sees
 them as plain columns.
 
 Tradeoff vs the unfused path: buckets are host-keyed (fusable, host-local)
-instead of sign-keyed (perfectly uniform); a mega-host concentrates its
-rows in one group, but the kernel's admission is vectorized and the
-emitted set per host is ≤ budget, so the imbalance is bounded by input
-row count, not by sort cost. Use n_buckets ≫ executor slots.
+instead of sign-keyed (perfectly uniform), so a mega-host concentrates its
+rows in one Arrow group. That group is BOUNDED by construction: the
+round's frontier is the kernel's only input, and the frontier merge caps
+every host at ``RoundSpec.frontier_host_cap`` rows
+(round.CrawlRun._cap_frontier, the dispatcher's per-host depth cut) —
+a host can contribute at most ``cap`` rows to its bucket, and a bucket
+holds ~n_hosts/n_buckets hosts of ≤ cap rows each. An in-stage pre-prune
+cannot do better exactly: admission keeps the top-budget UNSEEN rows, and
+seen-ness is only known inside the probe — pruning before it could evict
+an unseen row that seen rows out-rank. Use n_buckets ≫ executor slots.
 
 Requires seen_mode="sign" (exact shards — no FP-confirm join can run
 inside the stage).

@@ -43,6 +43,17 @@ from . import urlkit
 from .seen import BloomShards, BloomSpec
 from .spans import extract_outlink_arrays
 
+# logical clock anchor: round r fetches stamp 2020-01-01 + r days
+_EPOCH_2020 = 1_577_836_800
+
+# one linkbase row per fetch attempt (mr_selector_r1_mapper.cc:198-201
+# record, reduced to the fields the downstream loops consume)
+LINKBASE_SCHEMA = (
+    "url string, host string, depth int, success boolean, "
+    "response_code int, http_header string, last_fetch_ts long, "
+    "update_fail_cnt int"
+)
+
 FRONTIER_SCHEMA = T.StructType(
     [
         T.StructField("url", T.StringType(), False),
@@ -84,6 +95,15 @@ class RoundSpec:
     compact_every: int | None = None  # fold committed linkbase deltas
     # (latest-round-wins, compact_linkbase) every N committed rounds —
     # bounds the delta-partition count a long crawl accumulates
+    frontier_host_cap: int | None = 100_000  # per-host frontier depth cap
+    # applied at the carry ∪ new merge (reducer_compress_control.cc:128-169
+    # — the dispatcher sorts each host's pending URLs and drops overflow
+    # past the PV-derived budget, FLAGS_ignore_overload_urls). Keeps the
+    # frontier bounded when discovery rate ≫ qps AND bounds the fused
+    # kernel's per-host Arrow-group contribution: with the cap, a
+    # mega-host can put at most `cap` rows into its host bucket. Overflow
+    # rows are dropped (re-extraction rediscovers them); order kept is
+    # (vip desc, depth asc, url asc) — VIPs always survive the cut.
     seed: int = 42
 
 
@@ -241,6 +261,33 @@ class CrawlRun:
         )
         return out.drop("uv") if self.signals is not None else out
 
+    def _cap_frontier(self, frontier: DataFrame, cap: int) -> DataFrame:
+        """T3-style per-host frontier depth cut at the merge
+        (reducer_compress_control.cc:128-169: sort the host's pending URLs,
+        keep the budget head, drop overflow). Order is (vip desc, depth
+        asc, url asc) — deterministic, signal-free, VIP-preserving; the
+        Python simulator applies the identical rule.
+
+        Two-level salted windows (the admit_round trick): level 1 keeps
+        each (host, salt)'s local top-cap — the global per-host top-cap is
+        a subset of the union — so no single task ever sorts a mega-host's
+        full candidate set; level 2 ranks ≤ cap × salt_buckets survivors.
+        """
+        order = (F.desc("vip"), F.asc("depth"), F.asc("url"))
+        n_salt = self.spec.politeness.salt_buckets
+        if n_salt > 1:
+            salt = F.pmod(F.xxhash64("url"), F.lit(n_salt))
+            w1 = Window.partitionBy("host", salt.alias("_s")).orderBy(*order)
+            frontier = (
+                frontier.withColumn("_r1", F.row_number().over(w1))
+                .filter(F.col("_r1") <= cap).drop("_r1")
+            )
+        w2 = Window.partitionBy("host").orderBy(*order)
+        return (
+            frontier.withColumn("_r2", F.row_number().over(w2))
+            .filter(F.col("_r2") <= cap).drop("_r2")
+        )
+
     def _seen_keys(self, df: DataFrame) -> DataFrame:
         """(bucket, sign) under the SAME keying _with_keys uses — the
         layout contract the resume validator guards."""
@@ -349,9 +396,7 @@ class CrawlRun:
             # keep the partitioned layout readable (schema-bearing empty
             # delta, same as bootstrap's seed)
             self._write_linkbase_delta(
-                self.spark.createDataFrame(
-                    [], "url string, host string, depth int, success boolean"
-                ), 0,
+                self.spark.createDataFrame([], LINKBASE_SCHEMA), 0,
             )
         with open(os.path.join(lb_root, "_compaction.json"), "w") as f:
             json.dump({"compacted_through": pending["compacted_through"],
@@ -363,7 +408,9 @@ class CrawlRun:
         shutil.rmtree(stage, ignore_errors=True)
 
     def compact_linkbase(self, through_round: int | None = None,
-                         max_fail: int | None = None) -> dict:
+                         max_fail: int | None = None,
+                         commands: DataFrame | None = None,
+                         max_update_failed: int = 3) -> dict:
         """U4 made concrete: batch+delta compaction of the linkbase
         (mr_combine_batch_delta_reducer.cc:33-100 semantics — per url keep
         only the record with the LATEST crawl timestamp; with ``max_fail``,
@@ -400,8 +447,17 @@ class CrawlRun:
         array (records-per-url is bounded by rounds, and by ttl when
         recrawl is on — never web-scale).
 
+        ``commands`` renders the reference's explicit D/R command records
+        (mr_link_merge_reducer.cc:85-99): a (url, cmd, round) table where
+        commands at least as new as the url's latest stored record apply —
+        ``D`` deletes the url from the base (DMCA / cleanup feed), each
+        ``R`` increments ``update_fail_cnt``, and the url dies when the
+        counter reaches ``max_update_failed`` (FLAGS_max_update_failed_num,
+        default 3). Strictly-older commands are ignored (a fresh fetch
+        supersedes them), exactly the reducer's timestamp guard.
+
         Returns {"compacted_through", "rows_before", "rows_after",
-        "dead_links"}.
+        "dead_links", "cmd_deleted"}.
         """
         import shutil
 
@@ -424,20 +480,22 @@ class CrawlRun:
         targets = sorted(r for r in present if r <= c)
         if not targets:
             return {"compacted_through": c, "rows_before": 0,
-                    "rows_after": 0, "dead_links": 0}
+                    "rows_after": 0, "dead_links": 0, "cmd_deleted": 0}
 
         lb = self._linkbase(c)
         rows_before = lb.count()
+        # schema-agnostic latest-wins: every non-key column rides the
+        # sorted record struct (round leads, so array_sort orders by it)
+        data_cols = [col for col in lb.columns
+                     if col not in ("url", "round")]
         recs = F.array_sort(
-            F.collect_list(F.struct("round", "host", "depth", "success"))
+            F.collect_list(F.struct("round", *data_cols))
         )
         per_url = lb.groupBy("url").agg(recs.alias("recs"))
         last_rec = F.element_at("recs", -1)
         scored = per_url.select(
             "url",
-            last_rec["host"].alias("host"),
-            last_rec["depth"].alias("depth"),
-            last_rec["success"].alias("success"),
+            *[last_rec[col].alias(col) for col in data_cols],
             last_rec["round"].alias("round"),
             F.aggregate(
                 "recs", F.lit(0),
@@ -450,6 +508,42 @@ class CrawlRun:
             if max_fail is not None else 0
         )
         out = scored
+        cmd_deleted = 0
+        if commands is not None:
+            # D/R command merge (mr_link_merge_reducer.cc:85-99): commands
+            # with round >= the stored record's round apply; D kills, each
+            # R bumps update_fail_cnt, threshold kills. JVM higher-order
+            # functions over the per-url command array — commands-per-url
+            # is a bounded feed, never web-scale.
+            cmds = commands.groupBy("url").agg(
+                F.collect_list(
+                    F.struct(F.col("round").alias("cmd_round"),
+                             F.col("cmd"))
+                ).alias("_cmds")
+            )
+            out = out.join(cmds, "url", "left")
+            base_fail = (
+                F.col("update_fail_cnt") if "update_fail_cnt" in lb.columns
+                else F.lit(0)
+            )
+            applicable = F.filter(
+                F.coalesce(
+                    F.col("_cmds"),
+                    F.array().cast("array<struct<cmd_round:int,cmd:string>>"),
+                ),
+                lambda x: x["cmd_round"] >= F.col("round"),
+            )
+            has_d = F.exists(applicable, lambda x: x["cmd"] == "D")
+            n_r = F.size(F.filter(applicable, lambda x: x["cmd"] == "R"))
+            new_fail = (base_fail + n_r).cast("int")
+            dead_cmd = has_d | (
+                (n_r > 0) & (new_fail >= F.lit(max_update_failed))
+            )
+            out = out.withColumn("_dead_cmd", dead_cmd)
+            if "update_fail_cnt" in lb.columns:
+                out = out.withColumn("update_fail_cnt", new_fail)
+            cmd_deleted = out.filter(F.col("_dead_cmd")).count()
+            out = out.filter(~F.col("_dead_cmd")).drop("_cmds", "_dead_cmd")
         if max_fail is not None:
             out = out.filter(F.col("_trailing_fails") < max_fail)
         out = out.drop("_trailing_fails")
@@ -482,7 +576,45 @@ class CrawlRun:
             json.dump(pending, f)
         self._apply_swap(lb_root, pending)
         return {"compacted_through": c, "rows_before": rows_before,
-                "rows_after": rows_after, "dead_links": dead}
+                "rows_after": rows_after, "dead_links": dead,
+                "cmd_deleted": cmd_deleted}
+
+    def enqueue(self, urls: DataFrame, from_code: str = "M",
+                depth: int = 0) -> int:
+        """U2/U5 loop closure: merge an external source's urls into the
+        last committed frontier — the selector-r1 multi-source union
+        (mr_selector_r1_mapper.cc:127-440) rendered against the round's
+        own state. The canonical feed is the updater: ``selector.
+        updater_candidates(run._linkbase(r), now_ts)`` over the round's
+        own linkbase → ``run.enqueue(tasks, from_code='M')`` → the next
+        ``run_round``/``run(resume=True)`` re-fetches them ('M' bypasses
+        the seen-drop, see selector.is_vip). Returns the merged frontier
+        row count."""
+        r = self.last_committed_round()
+        if r is None:
+            raise ValueError(f"no committed rounds under {self.ckpt}; "
+                             "bootstrap first")
+        cand = self._prepare_candidates(
+            urls.select(
+                F.col("url"), F.lit(depth).alias("depth"),
+                F.lit(None).cast("string").alias("referer"),
+            ),
+            from_code=from_code,
+        )
+        merged = (
+            self._read(r, "frontier").unionByName(cand)
+            .groupBy("url")
+            .agg(F.min("host").alias("host"), F.min("depth").alias("depth"),
+                 F.min("referer").alias("referer"),
+                 F.max("vip").alias("vip"))
+        )
+        if self.spec.frontier_host_cap is not None:
+            merged = self._cap_frontier(merged, self.spec.frontier_host_cap)
+        # the merge reads the dir it overwrites — pin the result first
+        merged = merged.localCheckpoint(eager=True)
+        n = merged.count()
+        self._write(merged, r, "frontier")
+        return n
 
     def last_committed_round(self) -> int | None:
         if not os.path.isdir(self.ckpt):
@@ -525,9 +657,7 @@ class CrawlRun:
         )
         self._write(pol.init_host_state(self.spark), 0, "host_state")
         # empty linkbase delta seeds the partitioned layout
-        empty_lb = self.spark.createDataFrame(
-            [], "url string, host string, depth int, success boolean"
-        )
+        empty_lb = self.spark.createDataFrame([], LINKBASE_SCHEMA)
         self._write_linkbase_delta(empty_lb, 0)
         self._manifest(
             0,
@@ -695,6 +825,8 @@ class CrawlRun:
                  F.min("referer").alias("referer"),
                  F.max("vip").alias("vip"))
         )
+        if self.spec.frontier_host_cap is not None:
+            nxt = self._cap_frontier(nxt, self.spec.frontier_host_cap)
 
         # 6. state updates. Recrawl TTL (scheduler.cc:381-393): the seen
         #    state written for round r+1 drops signs whose LATEST crawl
@@ -733,7 +865,31 @@ class CrawlRun:
             host_state, fetched.select("host", "success"),
             self.spec.politeness, r,
         )
-        lb_add = fetched.select("url", "host", "depth", "success")
+        # linkbase record fidelity (mr_selector_r1_mapper.cc:198-201: the
+        # reference row carries response_code, file_time, escaped http
+        # header, update_fail_cnt alongside the url/score): the simulated
+        # fetch renders deterministic equivalents keyed off the logical
+        # clock (round r ≙ one day after 2020-01-01), so the U5 updater
+        # (selector.updater_candidates parses Last-Modified/Date) and the
+        # D/R command merge (update_fail_cnt) run over the round's OWN
+        # output — the §3.1 step-11 loop closure.
+        fetch_day = F.date_add(F.to_date(F.lit("2020-01-01")), r)
+        hdr_date = F.concat(F.date_format(fetch_day, "dd MMM yyyy"),
+                            F.lit(" 00:00:00 GMT"))
+        lb_add = fetched.select(
+            "url", "host", "depth", "success",
+            F.when(F.col("success"), 200).otherwise(404)
+            .cast("int").alias("response_code"),
+            F.when(
+                F.col("success"),
+                F.concat(F.lit("HTTP/1.1 200 OK\r\nDate: "), hdr_date,
+                         F.lit("\r\nLast-Modified: "), hdr_date,
+                         F.lit("\r\n")),
+            ).otherwise(F.lit("")).alias("http_header"),
+            F.lit(_EPOCH_2020 + r * 86_400).cast("long")
+            .alias("last_fetch_ts"),
+            F.lit(0).alias("update_fail_cnt"),
+        )
 
         # 7. commit round r+1 (write, then manifest = commit marker).
         #    Materialize the shared caches once (the fetched count doubles

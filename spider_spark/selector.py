@@ -62,9 +62,13 @@ def from_rank(from_col: Column) -> Column:
 
 def is_vip(from_col: Column, url: Column) -> Column:
     """P9: VIP = seeds, search-click pages, site homepages — always crawl
-    (bypasses the seen-drop in J4)."""
+    (bypasses the seen-drop in J4). Updater recrawl tasks ('M') share the
+    bypass: with FLAGS_not_crawle_already_in_linkbase unset the selector
+    re-crawls linkbase-resident urls for any non-L/V source
+    (mr_selector_r1_reducer.cc:64-86) — refreshing seen pages is the
+    updater's whole purpose."""
     homepage = url.rlike(r"^[a-z]+://[^/]+/$")
-    return from_col.isin("U", "V", "S", "K") | homepage
+    return from_col.isin("U", "V", "S", "K", "M") | homepage
 
 
 _SEARCH_PAGE_PARAMS = {

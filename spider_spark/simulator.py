@@ -115,6 +115,9 @@ class SimSpec:
     # twin of RoundSpec.recrawl_ttl_rounds: a url whose latest crawl is
     # exactly ttl rounds old leaves the seen set (re-admit on rediscovery)
     recrawl_ttl_rounds: int | None = None
+    # twin of RoundSpec.frontier_host_cap: per-host frontier depth cut at
+    # the merge, keep order (vip desc, depth asc, url asc), overflow lost
+    frontier_host_cap: int | None = None
 
 
 def is_vip(url: str, from_seed: bool) -> bool:
@@ -255,6 +258,18 @@ def simulate(
             x for x in prepare(new_raw, from_seed=False)
             if x[0] not in batch
         ])
+        # per-host frontier depth cap (reducer_compress_control.cc:128-169
+        # twin): keep each host's (vip desc, depth asc, url asc) head,
+        # drop overflow — identical rule to CrawlRun._cap_frontier
+        if spec.frontier_host_cap is not None:
+            by_h: dict[str, list[tuple[bool, int, str]]] = {}
+            for url, (host, depth, vip) in frontier.items():
+                by_h.setdefault(host, []).append((not vip, depth, url))
+            for host, rows in by_h.items():
+                if len(rows) > spec.frontier_host_cap:
+                    rows.sort()
+                    for _, _, url in rows[spec.frontier_host_cap:]:
+                        del frontier[url]
         if not frontier and not admitted:
             break
 

@@ -819,3 +819,166 @@ def test_resume_pre_fingerprint_without_vip_raises(spark, world,
     legacy.write.mode("overwrite").parquet(fdir)
     with pytest.raises(ValueError, match="vip"):
         CrawlRun(spark, docs, robots, ck, short).run(seeds_df, resume=True)
+
+
+def test_frontier_host_cap_lockstep_and_bounded(spark, world,
+                                                tmp_path_factory):
+    """Per-host frontier cap (reducer_compress_control.cc:128-169): with a
+    small cap the engine and the simulator stay in lockstep (rounds + seen
+    set), every written frontier holds ≤ cap rows per host, and the crawl
+    still terminates. This cap is also what bounds the fused kernel's
+    per-host Arrow-group contribution."""
+    import os
+
+    docs, robots, adj, rob = world
+    cap = 3
+    ck = str(tmp_path_factory.mktemp("ck_cap"))
+    spec = RoundSpec(n_buckets=8, max_depth=3, max_rounds=10,
+                     politeness=PSPEC, frontier_host_cap=cap)
+    run = CrawlRun(spark, docs, robots, ck, spec)
+    res = run.run(spark.createDataFrame([(u,) for u in SEEDS], "url string"))
+    rounds = [r["admitted_urls"] for r in res]
+    while rounds and not rounds[-1]:
+        rounds.pop()
+    want = sim.simulate(
+        SEEDS, adj, rob,
+        sim.SimSpec(default_budget=PSPEC.default_budget,
+                    max_depth=spec.max_depth, max_rounds=spec.max_rounds,
+                    frontier_host_cap=cap),
+    )
+    assert rounds == want["rounds"]
+    assert run.seen_urls() == want["seen"]
+    # every committed frontier respects the per-host bound
+    for d in sorted(os.listdir(ck)):
+        fdir = os.path.join(ck, d, "frontier")
+        if not (d.startswith("round=") and os.path.isdir(fdir)):
+            continue
+        per_host = (
+            spark.read.parquet(fdir).groupBy("host").count().collect()
+        )
+        assert all(r["count"] <= cap for r in per_host), (d, per_host)
+
+
+def test_frontier_host_cap_binds_on_skew(spark, world, sim_result,
+                                         tmp_path_factory):
+    """Sanity: with the default (huge) cap the crawl equals the uncapped
+    simulator — the cap is a no-op until a host actually exceeds it — and
+    the capped run above genuinely dropped rows (the cap binds on the skew
+    hosts of this web)."""
+    _, _, adj, rob = world
+    capped = sim.simulate(
+        SEEDS, adj, rob,
+        sim.SimSpec(default_budget=PSPEC.default_budget,
+                    max_depth=RSPEC.max_depth, max_rounds=RSPEC.max_rounds,
+                    frontier_host_cap=1),
+    )
+    assert capped["rounds"] != sim_result["rounds"], \
+        "cap=1 should reshape the crawl ordering on this web"
+
+
+def test_updater_loop_closure_e2e(spark, tmp_path_factory):
+    """§3.1 step-11 loop closure: crawl → U5 updater candidates computed
+    from the round's OWN linkbase (header dates + last_fetch_ts now ride
+    every record) → enqueue(from='M') → resumed run re-fetches the stale
+    pages ('M' bypasses the seen-drop, mr_selector_r1_reducer.cc:64-86)."""
+    from spider_spark import selector as sel
+    from spider_spark.round import _EPOCH_2020
+
+    s = "http://up.example.com/p/0"
+    a, b = "http://up.example.com/p/1", "http://up.example.com/p/2"
+    adj = {s: [a, b], a: [], b: []}
+    docs = _mk_docs(spark, adj)
+    robots = _allow_all_robots(spark, ["up.example.com"])
+    rspec = RoundSpec(n_buckets=4, max_depth=3, max_rounds=8,
+                      politeness=PolitenessSpec(qps=1.0, round_seconds=5.0))
+    ck = str(tmp_path_factory.mktemp("ck_upd"))
+    run = CrawlRun(spark, docs, robots, ck, rspec)
+    seeds_df = spark.createDataFrame([(s,)], "url string")
+    run.run(seeds_df)
+    committed = run.last_committed_round()
+    lb = run._linkbase(committed - 1)
+    # every crawled page is ≥ 1 day stale 30 logical days later
+    tasks = sel.updater_candidates(
+        lb, now_ts=_EPOCH_2020 + 30 * 86_400, max_age_s=86_400
+    )
+    got = {r["url"] for r in tasks.collect()}
+    assert got == {s, a, b}
+    assert all(r["from"] == "M" for r in tasks.collect())
+    n = run.enqueue(tasks.select("url"))
+    assert n == 3
+    res2 = run.run(seeds_df, resume=True)
+    # the resumed round re-admits the seen pages
+    assert set(res2[0]["admitted_urls"]) == {s, a, b}
+    # the linkbase now holds a NEWER record per url; compaction keeps it
+    met = run.compact_linkbase()
+    left = {r["url"]: r for r in run._linkbase(
+        met["compacted_through"]).collect()}
+    assert set(left) == {s, a, b}
+    assert all(r["round"] == committed for r in left.values())
+    assert all(r["response_code"] == 200 for r in left.values())
+
+
+def test_linkbase_dr_command_records(spark, tmp_path_factory):
+    """D/R command semantics (mr_link_merge_reducer.cc:85-99): commands at
+    least as new as the stored record apply — D deletes, each R increments
+    update_fail_cnt with death at max_update_failed (=3); strictly-older
+    commands are ignored."""
+    s = "http://cm.example.com/p/0"
+    a, b, c = (f"http://cm.example.com/p/{i}" for i in (1, 2, 3))
+    adj = {s: [a, b, c], a: [], b: [], c: []}
+    docs = _mk_docs(spark, adj)
+    robots = _allow_all_robots(spark, ["cm.example.com"])
+    rspec = RoundSpec(n_buckets=4, max_depth=3, max_rounds=6,
+                      politeness=PolitenessSpec(qps=1.0, round_seconds=5.0))
+    ck = str(tmp_path_factory.mktemp("ck_cmd"))
+    run = CrawlRun(spark, docs, robots, ck, rspec)
+    run.run(spark.createDataFrame([(s,)], "url string"))
+    # s fetched round 0; a, b, c fetched round 1
+    commands = spark.createDataFrame(
+        [
+            (a, "D", 5),           # newer D → deleted
+            (b, "R", 0),           # strictly older than b's record → ignored
+            (s, "R", 5), (s, "R", 6),   # two R's → fail cnt 2, survives
+            (c, "R", 5), (c, "R", 6), (c, "R", 7),  # cnt 3 ≥ max → dead
+        ],
+        "url string, cmd string, round int",
+    )
+    met = run.compact_linkbase(commands=commands)
+    assert met["cmd_deleted"] == 2
+    left = {r["url"]: r for r in run._linkbase(
+        met["compacted_through"]).collect()}
+    assert set(left) == {s, b}
+    assert left[s]["update_fail_cnt"] == 2
+    assert left[b]["update_fail_cnt"] == 0
+
+
+def test_simhash_assign_over_round_linkbase(spark, tmp_path_factory):
+    """D3 closure: assign_simhash runs over the round's own linkbase (no
+    synthetic side table) — fetched pages get a real signature, failed
+    fetches keep the mapper's error value 0."""
+    from pyspark.sql import functions as FF
+
+    from spider_spark import simhash as sh
+
+    s = "http://sx.example.com/p/0"
+    a, miss = "http://sx.example.com/p/1", "http://sx.example.com/p/404"
+    adj = {s: [a, miss], a: [s]}  # a links back so its page has text
+    docs = _mk_docs(spark, adj)
+    robots = _allow_all_robots(spark, ["sx.example.com"])
+    rspec = RoundSpec(n_buckets=4, max_depth=3, max_rounds=6,
+                      politeness=PolitenessSpec(qps=1.0, round_seconds=5.0))
+    ck = str(tmp_path_factory.mktemp("ck_sx"))
+    run = CrawlRun(spark, docs, robots, ck, rspec)
+    run.run(spark.createDataFrame([(s,)], "url string"))
+    lb = run._linkbase(run.last_committed_round() - 1)
+    texts = docs.select(
+        "doc_id",
+        FF.concat_ws(
+            " ", FF.transform("spans", lambda sp: FF.coalesce(sp["text"],
+                                                              FF.lit("")))
+        ).alias("text"),
+    )
+    out = sh.assign_simhash(lb, texts, n_shards=8)
+    sig = {r["url"]: r["simhash"] for r in out.collect()}
+    assert sig[s] != 0 and sig[a] != 0
+    assert sig[miss] == 0
