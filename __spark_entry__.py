@@ -193,6 +193,69 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.count("*").alias("n_events"),
         )
 
+    def session_signs(spark, sf):
+        """Session identity sign (session_segment_util.h:20-24,
+        pvlog_segmenter.cc:349-365): md5(uid \\t session-first-ts \\t
+        1-based session ordinal), one per (uid, session); md5 exists on
+        both engines so the sign itself is oracle-checked."""
+        ev = _t(spark, sf, "events").withColumn(
+            "ts_us", F.unix_micros(F.col("ts").cast("timestamp"))
+        )
+        s = logs.sessionize(ev, "user_id", "ts_us", ref_col=None,
+                            no_ref_gap=300_000_000, with_sign=True)
+        return s.groupBy("user_id", "session_sign").agg(
+            F.count("*").alias("n_hits")
+        )
+
+    def window_budgets(spark, sf):
+        """L1 time-of-day windows (host_load_control.txt HH:MM-HH:MM,
+        load_controller.cc:46-92): effective (host, budget) dim at the
+        round's minute-of-day (round 301 × 60 s ⇒ minute 301)."""
+        from spider_spark import politeness as pol
+
+        p = _t(spark, sf, "part")
+        dims = p.select(
+            F.concat(F.lit("h"), (F.col("p_partkey") % 20).cast("string"))
+            .alias("host"),
+            ((F.col("p_partkey") % 12) * 120).cast("int").alias("begin_min"),
+            ((F.col("p_partkey") % 12) * 120 + 119).cast("int")
+            .alias("end_min"),
+            (F.col("p_partkey") % 7 + 1).cast("int").alias("budget"),
+        )
+        return pol.window_budgets(
+            dims, round_no=301, spec=pol.PolitenessSpec(round_seconds=60.0)
+        )
+
+    def extract_whitelist(spark, sf):
+        """E3 per-referer extract whitelist (extractor.cc:202-281,
+        url_extract_rule.h): first rule matching the referer's host/path
+        globs gates outlinks by target FullMatch; no rule → free; NULL
+        referer bypasses."""
+        from spider_spark.selector import apply_extract_rules
+
+        p = _t(spark, sf, "part")
+        cand = p.select(
+            "p_partkey",
+            F.concat(
+                F.lit("http://t"), (F.col("p_partkey") % 9).cast("string"),
+                F.lit(".example.com/"),
+                F.when(F.col("p_partkey") % 3 == 0, "item/")
+                .otherwise("other/"),
+                F.col("p_partkey").cast("string"),
+            ).alias("url"),
+            F.when(
+                F.col("p_partkey") % 4 == 0,
+                F.concat(F.lit("http://ref.shop.com/list/"),
+                         (F.col("p_partkey") % 5).cast("string")),
+            ).when(
+                F.col("p_partkey") % 4 == 1,
+                F.lit("http://free.example.com/x"),
+            ).otherwise(F.lit(None).cast("string")).alias("referer"),
+        )
+        rules = [("*.shop.com", "/list/*",
+                  r"http://t\d+\.example\.com/item/\d+")]
+        return apply_extract_rules(cand, rules)
+
     def topk_per_group(spark, sf):
         """T3 (reducer_compress_control.cc:153-169): top-5 per group."""
         ev = _t(spark, sf, "events")
@@ -736,7 +799,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def simhash_assign(spark, sf):
         """D3 (mr_assign_page_simhash_mapper.cc:30-69): tf·idf-weighted
         signatures attached onto linkbase rows by url, sharded (rows-only:
-        hash-based values)."""
+        hash-based values). The idf STAYS a table joined cluster-side
+        (weighted_simhash_join) — collecting the corpus vocabulary into a
+        UDF closure is the bounded-whitelist path only."""
         _ensure_shipped(spark)
         d = _t(spark, sf, "documents").withColumn(
             "url", F.concat(F.lit("http://docs.example.com/d/"),
@@ -746,8 +811,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = d.filter(F.col("doc_id") % 97 != 0).select(
             F.col("url").alias("doc_id"), "text"
         )
-        idf = {r["term"]: r["idf"] for r in sh.corpus_idf(docs).collect()}
-        out = sh.assign_simhash(lb, docs, idf=idf, n_shards=16)
+        out = sh.assign_simhash(lb, docs, idf_table=sh.corpus_idf(docs),
+                                n_shards=16)
         return out.select("url", "simhash", "shard")
 
     def crawl_rounds_e2e(spark, sf):
@@ -813,6 +878,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "segment_priority": segment_priority,
         "latest_wins": latest_wins,
         "sessionize": sessionize,
+        "session_signs": session_signs,
+        "window_budgets": window_budgets,
+        "extract_whitelist": extract_whitelist,
         "topk_per_group": topk_per_group,
         "task_chunks": task_chunks,
         "binpack": binpack,
@@ -966,6 +1034,59 @@ def oracle_sql() -> dict[str, str]:
                             THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
                    COUNT(*) AS n_events
             FROM g GROUP BY 1
+        """,
+        "session_signs": """
+            WITH g AS (
+              SELECT user_id, epoch_us(ts) AS ts_us,
+                     CASE WHEN LAG(epoch_us(ts)) OVER (
+                            PARTITION BY user_id ORDER BY ts) IS NULL
+                          OR epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                            PARTITION BY user_id ORDER BY ts) > 300000000
+                          THEN 1 ELSE 0 END AS new_s
+              FROM events),
+            s AS (
+              SELECT user_id, ts_us,
+                     SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts_us
+                       ROWS UNBOUNDED PRECEDING) AS sid1
+              FROM g),
+            f AS (
+              SELECT user_id, sid1, MIN(ts_us) AS first_ts,
+                     COUNT(*) AS n_hits
+              FROM s GROUP BY 1, 2)
+            SELECT user_id,
+                   md5(user_id || CHR(9) || first_ts || CHR(9) || sid1)
+                     AS session_sign,
+                   n_hits
+            FROM f
+        """,
+        "window_budgets": """
+            WITH d AS (
+              SELECT 'h' || (p_partkey % 20) AS host,
+                     (p_partkey % 12) * 120 AS b,
+                     (p_partkey % 12) * 120 + 119 AS e,
+                     p_partkey % 7 + 1 AS budget
+              FROM part)
+            SELECT host, CAST(MIN(budget) AS INT) AS budget
+            FROM d WHERE b <= 301 AND e >= 301 GROUP BY 1
+        """,
+        "extract_whitelist": """
+            WITH c AS (
+              SELECT p_partkey,
+                     'http://t' || (p_partkey % 9) || '.example.com/'
+                       || (CASE WHEN p_partkey % 3 = 0 THEN 'item/'
+                                ELSE 'other/' END)
+                       || p_partkey AS url,
+                     CASE WHEN p_partkey % 4 = 0
+                            THEN 'http://ref.shop.com/list/'
+                                 || (p_partkey % 5)
+                          WHEN p_partkey % 4 = 1
+                            THEN 'http://free.example.com/x'
+                     END AS referer
+              FROM part)
+            SELECT p_partkey, url, referer FROM c
+            WHERE referer IS NULL
+               OR referer NOT LIKE 'http://ref.shop.com/list/%'
+               OR p_partkey % 3 = 0
         """,
         "topk_per_group": """
             SELECT event_type, event_id, ROUND(value, 4) AS value

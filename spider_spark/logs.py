@@ -212,12 +212,20 @@ def enrich_graph_signals(resources: DataFrame, graph_signals: DataFrame,
 def sessionize(pv: DataFrame, uid_col: str = "uid", ts_col: str = "ts",
                ref_col: str | None = "ref",
                no_ref_gap: float = SESSION_GAP_NO_REF_S,
-               ref_gap: float = SESSION_GAP_REF_S) -> DataFrame:
+               ref_gap: float = SESSION_GAP_REF_S,
+               with_sign: bool = False) -> DataFrame:
     """Session segmentation (pvlog_segmenter.h:80-94): per uid in ts order,
     start a new session when the gap from the previous hit exceeds
     ``no_ref_gap`` (default 5 min, no referer) / ``ref_gap`` (30 min, with
     referer) — gap units are whatever ``ts_col`` is in. Adds ``session_id``
-    (0-based per uid) via the lag → flag → running-sum pattern."""
+    (0-based per uid) via the lag → flag → running-sum pattern.
+
+    ``with_sign`` adds the reference's session identity sign
+    (session_segment_util.h:20-24 / pvlog_segmenter.cc:349-365):
+    ``md5(agentid \\t session-first-ts \\t 1-based session id)`` — every
+    hit of a session carries the same sign, globally unique across uids.
+    Both session windows share the uid partitioning, so the second one
+    reuses the first's exchange."""
     w = Window.partitionBy(uid_col).orderBy(F.asc(ts_col))
     gap = F.col(ts_col).cast("double") - F.lag(
         F.col(ts_col).cast("double")
@@ -233,4 +241,17 @@ def sessionize(pv: DataFrame, uid_col: str = "uid", ts_col: str = "ts",
     running = F.sum(new_sess).over(
         w.rowsBetween(Window.unboundedPreceding, 0)
     )
-    return pv.withColumn("session_id", (running - 1).cast("int"))
+    out = pv.withColumn("session_id", (running - 1).cast("int"))
+    if with_sign:
+        first_ts = F.min(F.col(ts_col)).over(
+            Window.partitionBy(uid_col, "session_id")
+        )
+        out = out.withColumn(
+            "session_sign",
+            F.md5(F.concat_ws(
+                "\t", F.col(uid_col).cast("string"),
+                first_ts.cast("string"),
+                (F.col("session_id") + 1).cast("string"),
+            )),
+        )
+    return out

@@ -105,6 +105,36 @@ def robots_gate(urls_with_level: DataFrame, policy_level: int = 2) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Time-of-day budget windows (L1 fidelity)
+# --------------------------------------------------------------------------
+
+def minute_of_round(round_no: int, spec: PolitenessSpec) -> int:
+    """Logical clock → minute-of-day: round r ends at r × round_seconds
+    on the wall the reference's HH:MM windows measure."""
+    return int(round_no * spec.round_seconds // 60) % 1440
+
+
+def window_budgets(budgets: DataFrame | None, round_no: int,
+                   spec: PolitenessSpec) -> DataFrame | None:
+    """L1 time windows (host_load_control.txt record ``host max_conn qps
+    HH:MM-HH:MM``, both ends closed; parse load_controller.cc:46-92): when
+    the budget dim carries ``begin_min``/``end_min`` columns, keep the
+    rows whose window covers this round's minute-of-day and emit the
+    plain (host, budget) dim the admission paths consume. Hosts with no
+    covering window fall back to the default budget (default_ip_load
+    role). Windows per host must not overlap (the reference CHECKs this);
+    on overlap the smallest budget wins deterministically."""
+    if budgets is None or "begin_min" not in budgets.columns:
+        return budgets
+    minute = minute_of_round(round_no, spec)
+    return (
+        budgets.filter((F.col("begin_min") <= minute)
+                       & (F.col("end_min") >= minute))
+        .groupBy("host").agg(F.min("budget").alias("budget"))
+    )
+
+
+# --------------------------------------------------------------------------
 # Round admission (L1 as window math)
 # --------------------------------------------------------------------------
 

@@ -139,12 +139,17 @@ class CrawlRun:
                  budgets: DataFrame | None = None,
                  signals: DataFrame | None = None,
                  host_ips: DataFrame | None = None,
-                 ip_budgets: DataFrame | None = None):
+                 ip_budgets: DataFrame | None = None,
+                 extract_rules: list[tuple[str, str, str]] | None = None):
         self.spark = spark
         self.spec = spec
         self.ckpt = ckpt_dir
         self.robots = robots
         self.budgets = budgets
+        # per-referer extract whitelist (E3, extractor.cc:202-281): ordered
+        # (host_glob, path_glob, target_regex) rules gating which outlinks
+        # each referer may emit — a bounded config (url_extract_rule file)
+        self.extract_rules = extract_rules
         # per-ip politeness dim (load_controller.h:18-52): (host, ip) +
         # (ip, budget) broadcast dims; admission caps each ip's admitted
         # rows per round when both are present
@@ -210,10 +215,14 @@ class CrawlRun:
         tag (crawled_resource.proto:41-50): 'U' seeds, 'E' extracted — it
         feeds the VIP flag (P9/J4: VIP rows bypass the seen-drop,
         mr_selector_r1_reducer.cc:62-108)."""
-        from .selector import is_vip
+        from .selector import apply_extract_rules, is_vip
 
         c = urlkit.canonicalize_urls_df(urls, "url")
         c = c.filter(F.col("url").isNotNull())
+        # E3 whitelist gates the canonical url against the referer's rule
+        # (extractor.cc:243-252 FullMatch on gurl.spec()) before everything
+        # else — NULL-referer rows (seeds, enqueued sources) bypass
+        c = apply_extract_rules(c, self.extract_rules)
         c = c.withColumn("vip", is_vip(F.lit(from_code), F.col("url")))
         # post-UDF the url is a plain attribute; host/path/query are single
         # regexp_extracts computed once as named columns (keeps the plan flat)
@@ -719,13 +728,18 @@ class CrawlRun:
         # 1+2. seen-probe then politeness admission. The admission split
         #    feeds four consumers (fetch, carryover, seen-update, metrics)
         #    — cache it so the probe subtree runs once per round.
+        # time-of-day windows (host_load_control.txt): the budget dim may
+        # be window-keyed; resolve it to this round's minute-of-day
+        budgets_r = pol.window_budgets(
+            self.budgets, r, self.spec.politeness
+        )
         if self.spec.fused:
             if self.spec.seen_mode != "sign":
                 raise ValueError("fused mode requires seen_mode='sign'")
             from .fused import fused_probe_admit
 
             flagged = fused_probe_admit(
-                frontier, seen_state, host_state, self.budgets,
+                frontier, seen_state, host_state, budgets_r,
                 self.spec.politeness.default_budget, r,
             )
             # J4 VIP override (mr_selector_r1_reducer.cc:62-108): a seen
@@ -757,7 +771,7 @@ class CrawlRun:
                 unseen = probed.filter(~F.col("maybe_seen") | F.col("vip"))
             unseen = unseen.drop("maybe_seen")
             adm = pol.admit_round(
-                unseen, host_state, self.budgets, self.spec.politeness, r
+                unseen, host_state, budgets_r, self.spec.politeness, r
             )
         if self.host_ips is not None and self.ip_budgets is not None:
             adm = pol.ip_cap_admitted(adm, self.host_ips, self.ip_budgets)

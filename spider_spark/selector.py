@@ -179,6 +179,52 @@ def paginate_list_urls(df: DataFrame, url_col: str = "url",
     )
 
 
+# -- per-referer extract-pattern whitelist (E3 fidelity) ---------------------
+
+
+def glob_to_regex(glob: str) -> str:
+    """base::MatchPattern-style wildcard → anchored regex body: ``*`` is
+    any run, ``?`` any single char, everything else literal."""
+    import re as _re
+
+    return "".join(
+        ".*" if ch == "*" else "." if ch == "?" else _re.escape(ch)
+        for ch in glob
+    )
+
+
+def apply_extract_rules(cand: DataFrame,
+                        rules: list[tuple[str, str, str]] | None,
+                        url_col: str = "url",
+                        referer_col: str = "referer") -> DataFrame:
+    """E3 whitelist (extractor.cc:202-281 + util/url_extract_rule.h:9-24):
+    the FIRST rule whose (host_pattern, path_pattern) wildcard-matches the
+    REFERER gates that referer's outlinks — each outlink must FullMatch
+    the rule's target_url_pattern regex. Referers matching no rule emit
+    freely; NULL referers (seeds / injected sources) bypass.
+
+    ``rules`` is an ordered list of (host_glob, path_glob, target_regex)
+    — a bounded config file in the reference (LoadUrlExtractRule), so it
+    folds into ONE flat coalesce-of-whens column expression: first-match
+    semantics with no join, no shuffle, whole-stage-codegen'd regexes.
+    """
+    if not rules:
+        return cand
+    ref = F.col(referer_col)
+    ref_host = F.try_parse_url(ref, F.lit("HOST"))
+    ref_path = F.coalesce(F.try_parse_url(ref, F.lit("PATH")), F.lit("/"))
+    whens = [
+        F.when(
+            ref_host.rlike(f"^{glob_to_regex(host_g)}$")
+            & ref_path.rlike(f"^{glob_to_regex(path_g)}$"),
+            F.col(url_col).rlike(f"^(?:{target_re})$"),
+        )
+        for host_g, path_g, target_re in rules
+    ]
+    keep = F.coalesce(*whens, F.lit(True))
+    return cand.filter(ref.isNull() | keep)
+
+
 # -- bad-page verify (D4) ----------------------------------------------------
 
 

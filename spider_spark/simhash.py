@@ -102,18 +102,23 @@ def make_weighted_simhash_udf(idf: dict[str, float] | None = None,
                 if t not in vocab:
                     vocab[t] = _token_hash64(t)
         if vocab:
-            hashes = np.fromiter(vocab.values(), dtype=np.uint64,
-                                 count=len(vocab))
+            # SORTED-term vocab order: per-doc votes then sum in a
+            # deterministic order shared with weighted_simhash_join —
+            # float vote sums at exact-cancellation boundaries are
+            # order-sensitive, and the two paths must be bit-equal
+            terms = sorted(vocab)
+            hashes = np.fromiter((vocab[t] for t in terms),
+                                 dtype=np.uint64, count=len(terms))
             bits = (
                 np.unpackbits(hashes.view(np.uint8).reshape(-1, 8)[:, ::-1],
                               axis=1)
                 .astype(np.float64)
             )
             votes_lut = bits * 2.0 - 1.0
-            index = {t: i for i, t in enumerate(vocab)}
+            index = {t: i for i, t in enumerate(terms)}
             idf_arr = np.fromiter(
-                (idf.get(t, default_idf) for t in vocab),
-                dtype=np.float64, count=len(vocab),
+                (idf.get(t, default_idf) for t in terms),
+                dtype=np.float64, count=len(terms),
             )
         out = np.zeros(len(text), dtype=np.int64)
         for row, toks in enumerate(token_lists):
@@ -154,22 +159,120 @@ def corpus_idf(docs: DataFrame, text_col: str = "text",
     )
 
 
+def _signature_from_pairs_udf():
+    """array<struct<term,w>> → int64 signature: the same blake2b hash /
+    ±1 bit-vote kernel as the dict UDF, fed per-doc (term, weight) pairs
+    instead of a closure dictionary. Batch-level token-hash cache."""
+
+    @pandas_udf(LongType())
+    def sig_of(tw: pd.Series) -> pd.Series:
+        vocab: dict[str, int] = {}
+        for pairs in tw:
+            for p in pairs:
+                t = p["term"]
+                if t not in vocab:
+                    vocab[t] = _token_hash64(t)
+        if vocab:
+            # sorted-term order, matching make_weighted_simhash_udf (see
+            # the note there: float vote sums must share one order)
+            terms = sorted(vocab)
+            hashes = np.fromiter((vocab[t] for t in terms),
+                                 dtype=np.uint64, count=len(terms))
+            bits = (
+                np.unpackbits(hashes.view(np.uint8).reshape(-1, 8)[:, ::-1],
+                              axis=1)
+                .astype(np.float64)
+            )
+            votes_lut = bits * 2.0 - 1.0
+            index = {t: i for i, t in enumerate(terms)}
+        out = np.zeros(len(tw), dtype=np.int64)
+        for row, pairs in enumerate(tw):
+            if not len(pairs):
+                continue
+            idx = np.fromiter((index[p["term"]] for p in pairs),
+                              dtype=np.int64, count=len(pairs))
+            w = np.fromiter((p["w"] for p in pairs),
+                            dtype=np.float64, count=len(pairs))
+            order = np.argsort(idx, kind="stable")
+            votes = (votes_lut[idx[order]] * w[order][:, None]).sum(axis=0)
+            sig = np.uint64(0)
+            for b in range(64):
+                if votes[b] > 0:
+                    sig |= np.uint64(1) << np.uint64(63 - b)
+            out[row] = np.int64(sig)
+        return pd.Series(out)
+
+    return sig_of
+
+
+def weighted_simhash_join(docs: DataFrame, idf_table: DataFrame,
+                          id_col: str = "doc_id", text_col: str = "text",
+                          default_idf: float = 1.0) -> DataFrame:
+    """Join-based tf·idf simhash (the open-vocabulary D1 path): exploded
+    (doc, term, tf) ⋈ (term, idf) — a uniform term-keyed shuffle join —
+    then the bounded per-doc (term, weight) lists feed the same vote
+    kernel as :func:`make_weighted_simhash_udf`. No corpus vocabulary
+    ever reaches the driver or a task closure (the dict variant collects
+    the whole idf table — GBs at corpus scale; it remains the right call
+    only for the reference's bounded whitelist file). Docs with no terms
+    keep the mapper's error value 0. Returns (id_col, simhash).
+
+    The weight per (doc, term) is tf × idf with ``default_idf`` for terms
+    missing from the table — identical semantics to the dict UDF, and the
+    pytest differential asserts bit-equality on a shared corpus.
+    """
+    terms = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("term"),
+    ).filter(F.col("term") != "")
+    tf = terms.groupBy("id", "term").agg(F.count("*").alias("tf"))
+    weighted = tf.join(idf_table, "term", "left").select(
+        "id", "term",
+        (F.col("tf") * F.coalesce(F.col("idf"), F.lit(default_idf)))
+        .alias("w"),
+    )
+    per_doc = weighted.groupBy("id").agg(
+        F.collect_list(F.struct("term", "w")).alias("tw")
+    )
+    sig = _signature_from_pairs_udf()
+    out = per_doc.select(F.col("id"), sig(F.col("tw")).alias("simhash"))
+    return (
+        docs.select(F.col(id_col).alias("id")).distinct()
+        .join(out, "id", "left")
+        .select(F.col("id").alias(id_col),
+                F.coalesce(F.col("simhash"), F.lit(0)).alias("simhash"))
+    )
+
+
 def assign_simhash(linkbase: DataFrame, docs: DataFrame,
                    idf: dict[str, float] | None = None,
                    url_col: str = "url", id_col: str = "doc_id",
-                   text_col: str = "text", n_shards: int = 64) -> DataFrame:
+                   text_col: str = "text", n_shards: int = 64,
+                   idf_table: DataFrame | None = None) -> DataFrame:
     """D3 (mr_assign_page_simhash_mapper.cc:30-69 + reducer): compute the
     weighted signature per fetched doc and attach it onto linkbase records
     by url; urls without content get simhash 0 (the mapper's error path
     sets hash = 0); ``shard`` = AssignShardId(url) mirrors the reducer's
-    sharded file output (a write-time ``partitionBy`` key here)."""
+    sharded file output (a write-time ``partitionBy`` key here).
+
+    Weighting source: ``idf_table`` (a (term, idf) DataFrame — the
+    scale path, joined cluster-side via :func:`weighted_simhash_join`)
+    or ``idf`` (a bounded dict shipped in the UDF closure — the
+    reference's --white_list file role). Passing both is an error."""
     from . import urlkit
 
-    udf = make_weighted_simhash_udf(idf)
-    sigs = docs.select(
-        F.col(id_col).alias(url_col),
-        udf(F.col(text_col)).alias("simhash"),
-    )
+    if idf is not None and idf_table is not None:
+        raise ValueError("pass idf (bounded dict) OR idf_table, not both")
+    if idf_table is not None:
+        sigs = weighted_simhash_join(
+            docs, idf_table, id_col=id_col, text_col=text_col
+        ).withColumnRenamed(id_col, url_col)
+    else:
+        udf = make_weighted_simhash_udf(idf)
+        sigs = docs.select(
+            F.col(id_col).alias(url_col),
+            udf(F.col(text_col)).alias("simhash"),
+        )
     return (
         linkbase.join(sigs, url_col, "left")
         .withColumn("simhash", F.coalesce(F.col("simhash"), F.lit(0)))

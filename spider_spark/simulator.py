@@ -118,6 +118,15 @@ class SimSpec:
     # twin of RoundSpec.frontier_host_cap: per-host frontier depth cut at
     # the merge, keep order (vip desc, depth asc, url asc), overflow lost
     frontier_host_cap: int | None = None
+    # twin of CrawlRun(extract_rules=…): ordered (host_glob, path_glob,
+    # target_regex) — first rule matching the REFERER gates its outlinks
+    extract_rules: list[tuple[str, str, str]] = field(default_factory=list)
+    # twin of politeness.window_budgets: (host, begin_min, end_min,
+    # budget) time-of-day windows, both ends closed, non-overlapping per
+    # host; hosts outside every window use default_budget
+    budget_windows: list[tuple[str, int, int, int]] = field(
+        default_factory=list)
+    round_seconds: float = 5.0  # logical minute = r*round_seconds//60
 
 
 def is_vip(url: str, from_seed: bool) -> bool:
@@ -143,12 +152,36 @@ def simulate(
         p = urlsplit(url)
         return (p.hostname or "").lower(), p.path or "/"
 
+    import re as _re
+
+    def glob_match(glob: str, s: str) -> bool:
+        # independent twin of selector.glob_to_regex (*/? wildcards)
+        pat = "".join(
+            ".*" if ch == "*" else "." if ch == "?" else _re.escape(ch)
+            for ch in glob
+        )
+        return _re.fullmatch(pat, s) is not None
+
+    def extract_rule_ok(canon_url: str, ref: str | None) -> bool:
+        """Twin of selector.apply_extract_rules: first rule matching the
+        referer's (host, path) gates the outlink by target FullMatch."""
+        if ref is None or not spec.extract_rules:
+            return True
+        rp = urlsplit(ref)
+        rhost, rpath = (rp.hostname or "").lower(), rp.path or "/"
+        for host_g, path_g, target_re in spec.extract_rules:
+            if glob_match(host_g, rhost) and glob_match(path_g, rpath):
+                return _re.fullmatch(f"(?:{target_re})", canon_url) is not None
+        return True
+
     def prepare(raw: list[tuple[str, int, str | None]], from_seed: bool):
         """(url, depth, referer) → admitted-to-frontier rows + vip flag."""
         out = []
         for url, depth, ref in raw:
             c = canonicalize(url)
-            if c is None or not rule_filter(c):
+            if c is None or not extract_rule_ok(c, ref):
+                continue
+            if not rule_filter(c):
                 continue
             host, path = host_path(c)
             if robots.level(host, path) < spec.policy_level:
@@ -200,7 +233,17 @@ def simulate(
             if host in dropped or holdon_until.get(host, -1) >= r:
                 continue
             rows.sort()
-            b = spec.budgets.get(host, spec.default_budget)
+            b = None
+            if spec.budget_windows:
+                minute = int(r * spec.round_seconds // 60) % 1440
+                matches = [
+                    wb for h, lo, hi, wb in spec.budget_windows
+                    if h == host and lo <= minute <= hi
+                ]
+                if matches:
+                    b = min(matches)
+            if b is None:
+                b = spec.budgets.get(host, spec.default_budget)
             for pri, negscore, url in rows[:b]:
                 admitted.append((url, host, frontier[url][1]))
         # second-stage per-ip cap (load_controller.h:18-52 twin): among

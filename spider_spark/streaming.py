@@ -22,7 +22,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -80,6 +80,24 @@ def sessionized_pv_stream(pv_stream: DataFrame, gap: str = "5 minutes",
             F.min(ts_col).alias("first_hit"),
             F.max(ts_col).alias("last_hit"),
         )
+    )
+
+
+def session_signs(sessions: DataFrame, uid_col: str = "uid") -> DataFrame:
+    """Session identity sign over :func:`sessionized_pv_stream` output
+    (session_segment_util.h:20-24: md5 of ``agentid \\t first-hit-ts \\t
+    1-based session ordinal``) — the streaming twin of
+    ``logs.sessionize(with_sign=True)``. Runs on the DRAINED aggregate
+    (availableNow / foreachBatch output): the per-uid ordinal is a rank
+    over session starts, which needs the uid's finished session list."""
+    w = Window.partitionBy(uid_col).orderBy(F.asc("first_hit"))
+    sid = F.row_number().over(w)
+    return sessions.withColumn(
+        "session_sign",
+        F.md5(F.concat_ws(
+            "\t", F.col(uid_col).cast("string"),
+            F.col("first_hit").cast("string"), sid.cast("string"),
+        )),
     )
 
 

@@ -982,3 +982,69 @@ def test_simhash_assign_over_round_linkbase(spark, tmp_path_factory):
     sig = {r["url"]: r["simhash"] for r in out.collect()}
     assert sig[s] != 0 and sig[a] != 0
     assert sig[miss] == 0
+
+
+def test_extract_rules_twin_e2e(spark, tmp_path_factory):
+    """Per-referer extract whitelist wired through the round: the engine
+    and the simulator agree when a rule confines one host's outlinks."""
+    s = "http://w1.example.com/p/0"
+    own, foreign = "http://w1.example.com/p/1", "http://w2.example.com/p/2"
+    adj = {s: [own, foreign], own: [], foreign: []}
+    rules = [("w1.example.com", "*", r"http://w1\.example\.com/.*")]
+    docs = _mk_docs(spark, adj)
+    robots = _allow_all_robots(spark, ["w1.example.com", "w2.example.com"])
+    rspec = RoundSpec(n_buckets=4, max_depth=3, max_rounds=6,
+                      politeness=PolitenessSpec(qps=1.0, round_seconds=5.0))
+    ck = str(tmp_path_factory.mktemp("ck_xr"))
+    run = CrawlRun(spark, docs, robots, ck, rspec, extract_rules=rules)
+    res = run.run(spark.createDataFrame([(s,)], "url string"))
+    rounds = [r["admitted_urls"] for r in res]
+    while rounds and not rounds[-1]:
+        rounds.pop()
+    want = sim.simulate(
+        [s], adj, _sim_robots_allow(["w1.example.com", "w2.example.com"]),
+        sim.SimSpec(default_budget=5, max_depth=3, max_rounds=6,
+                    extract_rules=rules),
+    )
+    assert rounds == want["rounds"]
+    assert foreign not in set(run.seen_urls())
+    assert own in set(run.seen_urls())
+
+
+@pytest.mark.parametrize("fused", [True, False])
+def test_budget_time_windows_twin_e2e(spark, tmp_path_factory, fused):
+    """Time-of-day budget windows (host_load_control.txt HH:MM-HH:MM,
+    load_controller.cc:46-92): the host's budget flips between rounds as
+    the logical clock crosses window bounds; engine and simulator agree
+    in both fused and window admission modes."""
+    host = "tw.example.com"
+    s = f"http://{host}/p/0"
+    pages = [f"http://{host}/p/{i}" for i in range(1, 9)]
+    adj = {s: pages, **{p: [] for p in pages}}
+    docs = _mk_docs(spark, adj)
+    robots = _allow_all_robots(spark, [host])
+    # round_seconds=60 → minute-of-day == round number
+    pspec = PolitenessSpec(qps=0.1, round_seconds=60.0)  # default budget 6
+    windows = [(host, 0, 1, 1), (host, 2, 10, 3)]
+    budgets = spark.createDataFrame(
+        windows, "host string, begin_min int, end_min int, budget int"
+    )
+    rspec = RoundSpec(n_buckets=4, max_depth=2, max_rounds=8,
+                      politeness=pspec, fused=fused)
+    ck = str(tmp_path_factory.mktemp(f"ck_tw{int(fused)}"))
+    run = CrawlRun(spark, docs, robots, ck, rspec, budgets=budgets)
+    res = run.run(spark.createDataFrame([(s,)], "url string"))
+    rounds = [r["admitted_urls"] for r in res]
+    while rounds and not rounds[-1]:
+        rounds.pop()
+    want = sim.simulate(
+        [s], adj, _sim_robots_allow([host]),
+        sim.SimSpec(default_budget=pspec.default_budget,
+                    max_depth=2, max_rounds=8,
+                    budget_windows=[(h, lo, hi, b) for h, lo, hi, b in windows],
+                    round_seconds=60.0),
+    )
+    assert rounds == want["rounds"]
+    # the flip is visible: 1 admit in rounds 0-1, 3 per round after
+    assert [len(b) for b in rounds] == [1, 1, 3, 3, 1]
+    assert run.seen_urls() == want["seen"]

@@ -188,3 +188,35 @@ def test_proxy_route_null_ips_bypass_window(spark):
     assert all(got[f"u{i}"] == "PROXY" for i in range(6, 10))  # 4 >= 3
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "isnotnull(ip" in plan, plan
+
+
+def test_extract_rule_whitelist(spark):
+    """E3 whitelist (extractor.cc:202-281, url_extract_rule.h): first rule
+    matching the REFERER's (host, path) globs gates outlinks by target
+    FullMatch; unmatched referers emit freely; NULL referers bypass."""
+    from spider_spark.selector import apply_extract_rules
+
+    rules = [
+        ("*.shop.com", "/list/*", r"http://[a-z]+\.shop\.com/item/\d+"),
+        ("news.com", "*", r"http://news\.com/.*"),
+    ]
+    rows = [
+        ("http://x.shop.com/item/42", "http://a.shop.com/list/1"),    # keep
+        ("http://x.shop.com/cart", "http://a.shop.com/list/1"),       # drop
+        ("http://x.shop.com/item/42z", "http://a.shop.com/list/1"),   # drop
+        ("http://anything.com/x", "http://a.shop.com/other"),         # keep
+        ("http://news.com/a", "http://news.com/section"),             # keep
+        ("http://other.com/a", "http://news.com/section"),            # drop
+        ("http://other.com/b", None),                                 # keep
+    ]
+    cand = spark.createDataFrame(rows, "url string, referer string")
+    got = {(r["url"], r["referer"])
+           for r in apply_extract_rules(cand, rules).collect()}
+    assert got == {
+        ("http://x.shop.com/item/42", "http://a.shop.com/list/1"),
+        ("http://anything.com/x", "http://a.shop.com/other"),
+        ("http://news.com/a", "http://news.com/section"),
+        ("http://other.com/b", None),
+    }
+    # no rules → pass-through
+    assert apply_extract_rules(cand, None).count() == len(rows)

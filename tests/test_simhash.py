@@ -191,3 +191,36 @@ def test_simhash_candidates_bucket_cap(spark):
     assert not any(a < 8 and b < 8 for a, b in pairs)
     full = sh.simhash_candidates(docs, max_bucket_size=None)
     assert {(r["a"], r["b"]) for r in full.collect()} >= pairs | {(0, 1)}
+
+
+def test_weighted_simhash_join_matches_dict_udf(spark):
+    """The join-based open-vocabulary path must reproduce the closure-dict
+    UDF bit-for-bit on a shared corpus (same tf·idf weights, same vote
+    kernel — only the weight delivery differs)."""
+    from pyspark.sql import functions as F
+
+    from spider_spark import simhash as sh
+
+    docs = spark.createDataFrame(
+        [
+            (0, "spark shuffles partition data across the cluster"),
+            (1, "spark shuffles partition data across the network"),
+            (2, "completely different text about parquet files"),
+            (3, ""),                       # no terms → mapper error value 0
+            (4, "politeness budgets throttle crawl rates per host"),
+        ],
+        "doc_id long, text string",
+    )
+    idf_tab = sh.corpus_idf(docs)
+    idf = {r["term"]: r["idf"] for r in idf_tab.collect()}
+    udf = sh.make_weighted_simhash_udf(idf)
+    want = {
+        r["doc_id"]: r["s"]
+        for r in docs.select("doc_id", udf(F.col("text")).alias("s")).collect()
+    }
+    got = {
+        r["doc_id"]: r["simhash"]
+        for r in sh.weighted_simhash_join(docs, idf_tab).collect()
+    }
+    assert got == want
+    assert got[3] == 0

@@ -123,3 +123,36 @@ def test_ttl_gate(spark):
     # a: crawled at 1000 < 100000-86400=13600 → stale → re-admit
     # b: fresh → dropped; c: never crawled → admit
     assert {r["url"] for r in out.collect()} == {"http://a/", "http://c/"}
+
+
+def test_session_sign_batch_streaming_equality(spark):
+    """Session identity sign (session_segment_util.h:20-24): the batch
+    sessionizer (logs.sessionize with_sign) and the session_window twin
+    (streaming.session_signs over the drained aggregate) produce the SAME
+    md5 signs for the same pv data."""
+    from spider_spark import logs
+
+    rows = [
+        ("u1", "2024-01-01 00:00:00"),
+        ("u1", "2024-01-01 00:02:00"),   # same session
+        ("u1", "2024-01-01 01:00:00"),   # new session
+        ("u2", "2024-01-01 00:00:30"),
+        ("u2", "2024-01-01 02:00:00"),
+    ]
+    pv = spark.createDataFrame(rows, "uid string, ts_s string").select(
+        "uid", F.col("ts_s").cast("timestamp").alias("ts")
+    )
+    batch = logs.sessionize(pv, ref_col=None, no_ref_gap=300,
+                            with_sign=True)
+    want = {(r["uid"], r["session_sign"]) for r in batch.collect()}
+    # session_window works identically on a bounded frame (the drained
+    # stream); signs ride the per-uid session ordinal
+    sessions = (
+        pv.groupBy(F.session_window(F.col("ts"), "5 minutes").alias("s"),
+                   F.col("uid"))
+        .agg(F.min("ts").alias("first_hit"))
+    )
+    got = {(r["uid"], r["session_sign"])
+           for r in st.session_signs(sessions).collect()}
+    assert got == want
+    assert len({s for _, s in want}) == 4  # one sign per session, unique
