@@ -263,6 +263,38 @@ def synthetic_dns(spark: SparkSession, hosts: DataFrame,
     )
 
 
+def merge_dns(primary: DataFrame, secondary: DataFrame,
+              blacklist: DataFrame | None = None) -> DataFrame:
+    """L5 resolver merge (control/schedule/merge_dns.py): union two
+    resolvers' per-host ip lists — the primary's order kept, the
+    secondary's unseen ips appended — then strip per-host blacklisted
+    ips. Inputs/output: (host, ips array); ``blacklist``: (host,
+    bad_ips array), broadcast (a hand-curated file in the reference)."""
+    a = primary.select("host", F.col("ips").alias("_a"))
+    b = secondary.select("host", F.col("ips").alias("_b"))
+    merged = a.join(b, "host", "full").select(
+        "host",
+        F.when(F.col("_a").isNull(), F.col("_b"))
+        .when(F.col("_b").isNull(), F.col("_a"))
+        .otherwise(
+            F.concat(F.col("_a"), F.array_except(F.col("_b"), F.col("_a")))
+        ).alias("ips"),
+    )
+    if blacklist is not None:
+        merged = (
+            merged.join(
+                F.broadcast(blacklist.select("host", "bad_ips")),
+                "host", "left",
+            )
+            .select(
+                "host",
+                F.when(F.col("bad_ips").isNull(), F.col("ips"))
+                .otherwise(F.array_except("ips", "bad_ips")).alias("ips"),
+            )
+        )
+    return merged
+
+
 def attach_ip(urls: DataFrame, dns: DataFrame,
               host_col: str = "host", url_col: str = "url") -> DataFrame:
     """J1 (url_to_ip.cc:53-91): broadcast-join the dns dim and pick one ip

@@ -220,3 +220,29 @@ def test_extract_rule_whitelist(spark):
     }
     # no rules → pass-through
     assert apply_extract_rules(cand, None).count() == len(rows)
+
+
+def test_merge_dns_with_blacklist(spark):
+    """L5 resolver merge (merge_dns.py): union per-host ip lists (primary
+    order first, secondary's new ips appended), then drop blacklisted
+    ips per host."""
+    from spider_spark.selector import merge_dns
+
+    a = spark.createDataFrame(
+        [("h1", ["1.1.1.1", "2.2.2.2"]), ("h2", ["3.3.3.3"])],
+        "host string, ips array<string>",
+    )
+    b = spark.createDataFrame(
+        [("h1", ["2.2.2.2", "4.4.4.4"]), ("h3", ["5.5.5.5"])],
+        "host string, ips array<string>",
+    )
+    bl = spark.createDataFrame(
+        [("h1", ["1.1.1.1"])], "host string, bad_ips array<string>"
+    )
+    got = {r["host"]: list(r["ips"])
+           for r in merge_dns(a, b, bl).collect()}
+    assert got == {
+        "h1": ["2.2.2.2", "4.4.4.4"],   # union minus blacklisted 1.1.1.1
+        "h2": ["3.3.3.3"],
+        "h3": ["5.5.5.5"],
+    }
