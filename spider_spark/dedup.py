@@ -319,8 +319,11 @@ def embedding_near_duplicates(emb: DataFrame, id_col: str = "vec_id",
       mutual near-identical vectors — an exact-dup pre-pass territory;
       members still pair through their other 15 bands. Explicit coverage
       bound, not silent truncation: audit with a plain groupBy count.
-    - the signature table (id, vec, keys) is computed ONCE (persisted;
-      freed by the ContextCleaner when unreachable) — the bucket count
+    - the signature table (id, vec, keys) is computed ONCE (eager
+      localCheckpoint — unlike a DataFrame persist, whose CacheManager
+      entry is pinned until an explicit unpersist, checkpoint blocks are
+      freed by the ContextCleaner when the RDD becomes unreachable, so
+      repeated calls don't accumulate pinned cache) — the bucket count
       and both join sides reuse it instead of re-running the UDF. At
       10⁸-vector scale the keys become a write-time stored column.
 
@@ -347,7 +350,7 @@ def embedding_near_duplicates(emb: DataFrame, id_col: str = "vec_id",
         emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
                    bk(F.col(vec_col)).alias("keys"))
         .filter(F.col("keys").isNotNull())
-        .persist()
+        .localCheckpoint(eager=True)
     )
     keyed = sig.select(
         "id", "v", F.posexplode("keys").alias("band", "key")

@@ -277,25 +277,46 @@ class CrawlRun:
         asc, url asc) — deterministic, signal-free, VIP-preserving; the
         Python simulator applies the identical rule.
 
-        Two-level salted windows (the admit_round trick): level 1 keeps
-        each (host, salt)'s local top-cap — the global per-host top-cap is
-        a subset of the union — so no single task ever sorts a mega-host's
-        full candidate set; level 2 ranks ≤ cap × salt_buckets survivors.
+        Plan shape — the common round must not pay for the rare mega-host:
+
+        1. **hot-host split**: per-host counts (partial-agg, output ≤ one
+           row per host) find the over-cap hosts. They are structurally
+           few — each holds > cap rows, so there are < N/cap of them
+           (< 10⁵ at a 10¹⁰-row frontier with the default cap) — and are
+           BROADCAST; under-cap hosts bypass via a broadcast anti-join
+           (no shuffle). When no host exceeds the cap the window stages
+           see zero rows.
+        2. **two-level salted windows** over the hot rows only (the
+           admit_round trick): level 1 keeps each (host, salt)'s local
+           top-cap — the global per-host top-cap is a subset of the
+           union — so no single task sorts a mega-host's full candidate
+           set; level 2 ranks ≤ cap × salt_buckets survivors.
+
+        The groupBy-merge exchange feeding this is identical in the count
+        subquery and both branches, so Spark computes it once
+        (ReusedExchange).
         """
         order = (F.desc("vip"), F.asc("depth"), F.asc("url"))
+        hot = (
+            frontier.groupBy("host").count()
+            .filter(F.col("count") > cap).select("host")
+        )
+        cold = frontier.join(F.broadcast(hot), "host", "left_anti")
+        capped = frontier.join(F.broadcast(hot), "host", "left_semi")
         n_salt = self.spec.politeness.salt_buckets
         if n_salt > 1:
             salt = F.pmod(F.xxhash64("url"), F.lit(n_salt))
             w1 = Window.partitionBy("host", salt.alias("_s")).orderBy(*order)
-            frontier = (
-                frontier.withColumn("_r1", F.row_number().over(w1))
+            capped = (
+                capped.withColumn("_r1", F.row_number().over(w1))
                 .filter(F.col("_r1") <= cap).drop("_r1")
             )
         w2 = Window.partitionBy("host").orderBy(*order)
-        return (
-            frontier.withColumn("_r2", F.row_number().over(w2))
+        capped = (
+            capped.withColumn("_r2", F.row_number().over(w2))
             .filter(F.col("_r2") <= cap).drop("_r2")
         )
+        return cold.unionByName(capped)
 
     def _seen_keys(self, df: DataFrame) -> DataFrame:
         """(bucket, sign) under the SAME keying _with_keys uses — the
@@ -839,8 +860,13 @@ class CrawlRun:
                  F.min("referer").alias("referer"),
                  F.max("vip").alias("vip"))
         )
+        nxt_cache = None
         if self.spec.frontier_host_cap is not None:
-            nxt = self._cap_frontier(nxt, self.spec.frontier_host_cap)
+            # the cap's hot-host count subquery and its two broadcast-join
+            # branches all scan the merged frontier — cache it so the
+            # merge chain (union + anti-join + groupBy) runs once
+            nxt_cache = nxt.persist()
+            nxt = self._cap_frontier(nxt_cache, self.spec.frontier_host_cap)
 
         # 6. state updates. Recrawl TTL (scheduler.cc:381-393): the seen
         #    state written for round r+1 drops signs whose LATEST crawl
@@ -966,6 +992,8 @@ class CrawlRun:
         adm.unpersist()
         fetched.unpersist()
         new_raw.unpersist()
+        if nxt_cache is not None:
+            nxt_cache.unpersist()
         self._manifest(
             r + 1,
             {"metrics": metrics, "parent_round": r,
