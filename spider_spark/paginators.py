@@ -109,6 +109,15 @@ def _offset_next_urls(url: Column, n_build: Column,
     )
 
 
+# blast-radius ceiling for the uncapped JD/suning branches: page_num is
+# PARSED FROM FETCHED CONTENT, so a garbage/hostile page claiming 2^30
+# pages would otherwise materialize a 10^9-element array in one row (the
+# reference's uncapped loop streams URLs one at a time and has no such
+# failure mode). Far above any real pagination — a deliberate, documented
+# deviation, NOT FLAGS_build_max_n_url (which caps only taobao/tmall).
+PAGE_NUM_SANITY_CEILING = 100_000
+
+
 def build_next_list_pages(df: DataFrame, url_col: str = "url",
                           page_num_col: str = "page_num",
                           max_build: int = 10) -> DataFrame:
@@ -124,7 +133,8 @@ def build_next_list_pages(df: DataFrame, url_col: str = "url",
     (extractor.cc:521,546; url_util.cc:1030,1066).
     """
     url = F.col(url_col)
-    page_num = F.col(page_num_col)
+    page_num = F.least(F.col(page_num_col),
+                       F.lit(PAGE_NUM_SANITY_CEILING))
     host, query = _host(url), _query(url)
     n_cap = F.least(page_num, F.lit(max_build)) - 1
 

@@ -359,7 +359,14 @@ class CrawlRun:
                 f"linkbase snapshots below round {floor} were compacted "
                 f"away; cannot time-travel to round {upto_round}"
             )
-        return self.spark.read.parquet(
+        # explicit schema: a checkpoint that predates a LINKBASE_SCHEMA
+        # widening holds old narrow files next to new wide ones, and a
+        # bare read resolves the schema from ONE footer — silently
+        # dropping the new columns from new rows (or the old rows' NULLs
+        # surprise downstream). Binding the expected schema makes old
+        # rows read the missing columns as NULL deterministically,
+        # without mergeSchema's every-footer scan.
+        return self.spark.read.schema(LINKBASE_SCHEMA + ", round int").parquet(
             os.path.join(self.ckpt, "linkbase")
         ).filter(F.col("round") <= upto_round)
 
@@ -552,9 +559,13 @@ class CrawlRun:
                 ).alias("_cmds")
             )
             out = out.join(cmds, "url", "left")
+            # coalesce even when the column exists: pre-widening rows read
+            # update_fail_cnt as NULL, and NULL + n_r would make dead_cmd
+            # NULL — the row would then vanish from BOTH the deleted count
+            # (filter(_dead_cmd) drops NULL) and the survivors
             base_fail = (
-                F.col("update_fail_cnt") if "update_fail_cnt" in lb.columns
-                else F.lit(0)
+                F.coalesce(F.col("update_fail_cnt"), F.lit(0))
+                if "update_fail_cnt" in lb.columns else F.lit(0)
             )
             applicable = F.filter(
                 F.coalesce(
@@ -572,6 +583,11 @@ class CrawlRun:
             out = out.withColumn("_dead_cmd", dead_cmd)
             if "update_fail_cnt" in lb.columns:
                 out = out.withColumn("update_fail_cnt", new_fail)
+            # dedicated count: one extra pass over the PERSISTED per-url
+            # aggregate (+ the broadcast command join) — it cannot ride
+            # the staged write's Observation because dead rows are
+            # filtered out before the write. Compaction is a rare
+            # maintenance op; the pass is bounded by distinct urls.
             cmd_deleted = out.filter(F.col("_dead_cmd")).count()
             out = out.filter(~F.col("_dead_cmd")).drop("_cmds", "_dead_cmd")
         if max_fail is not None:
@@ -624,6 +640,7 @@ class CrawlRun:
         if r is None:
             raise ValueError(f"no committed rounds under {self.ckpt}; "
                              "bootstrap first")
+        self._recover_enqueue()  # complete/garbage-collect a prior crash
         cand = self._prepare_candidates(
             urls.select(
                 F.col("url"), F.lit(depth).alias("depth"),
@@ -640,11 +657,61 @@ class CrawlRun:
         )
         if self.spec.frontier_host_cap is not None:
             merged = self._cap_frontier(merged, self.spec.frontier_host_cap)
-        # the merge reads the dir it overwrites — pin the result first
-        merged = merged.localCheckpoint(eager=True)
-        n = merged.count()
-        self._write(merged, r, "frontier")
-        return n
+        # crash-safe exchange (the round's own write-then-commit
+        # discipline): stage the merged frontier BESIDE the live one,
+        # commit with a marker, then swap — a crash at any step either
+        # leaves the old frontier untouched (no marker → staging is
+        # garbage) or is completed idempotently by _recover_enqueue. An
+        # in-place overwrite would destroy a COMMITTED round's frontier
+        # before the new one exists.
+        from pyspark.sql import Observation
+
+        rdir = self._round_dir(r)
+        staged = os.path.join(rdir, "_frontier_staged")
+        obs = Observation(f"enqueue_r{r}")
+        merged.observe(obs, F.count(F.lit(1)).alias("n")) \
+            .write.mode("overwrite").parquet(staged)
+        with open(os.path.join(rdir, "_enqueue_pending.json"), "w") as f:
+            json.dump({"round": r}, f)
+        self._finish_enqueue_swap(rdir)
+        return int(obs.get["n"])
+
+    def _finish_enqueue_swap(self, rdir: str) -> None:
+        """Idempotent completion of a marked enqueue exchange: trash the
+        old frontier (skipped if already trashed), move the staged one in,
+        drop the marker, clean the trash."""
+        import shutil
+
+        staged = os.path.join(rdir, "_frontier_staged")
+        trash = os.path.join(rdir, "_frontier_trash")
+        fdir = os.path.join(rdir, "frontier")
+        if os.path.isdir(staged):
+            if os.path.isdir(fdir) and not os.path.isdir(trash):
+                os.rename(fdir, trash)
+            if not os.path.isdir(fdir):
+                os.rename(staged, fdir)
+        marker = os.path.join(rdir, "_enqueue_pending.json")
+        if os.path.exists(marker):
+            os.remove(marker)
+        shutil.rmtree(trash, ignore_errors=True)
+
+    def _recover_enqueue(self) -> None:
+        """Resume-time repair for a crash mid-enqueue: a marker means the
+        staged frontier is authoritative — finish the swap; no marker
+        means any staging leftovers are incomplete garbage."""
+        import shutil
+
+        r = self.last_committed_round()
+        if r is None:
+            return
+        rdir = self._round_dir(r)
+        if os.path.exists(os.path.join(rdir, "_enqueue_pending.json")):
+            self._finish_enqueue_swap(rdir)
+        else:
+            shutil.rmtree(os.path.join(rdir, "_frontier_staged"),
+                          ignore_errors=True)
+            shutil.rmtree(os.path.join(rdir, "_frontier_trash"),
+                          ignore_errors=True)
 
     def last_committed_round(self) -> int | None:
         if not os.path.isdir(self.ckpt):
@@ -672,6 +739,11 @@ class CrawlRun:
             F.min("depth").alias("depth"), F.min("referer").alias("referer"),
             F.max("vip").alias("vip"),
         )
+        if self.spec.frontier_host_cap is not None:
+            # round 0 must honor the same per-host bound the merge applies
+            # — otherwise a host-concentrated seed list hands the fused
+            # kernel an uncapped Arrow group on the very first round
+            cand = self._cap_frontier(cand, self.spec.frontier_host_cap)
         # the frontier count rides the write job (Observation) — a
         # separate cand.count() would re-run the canonicalize UDF /
         # robots / rule chain a second time over the whole seed list
@@ -878,9 +950,9 @@ class CrawlRun:
         if ttl is not None and r + 1 - ttl >= 0:
             exp_round = r + 1 - ttl
             self._recover_swap()  # direct dir read — complete any mid-swap
-            lb_all = self.spark.read.parquet(
-                os.path.join(self.ckpt, "linkbase")
-            )
+            lb_all = self.spark.read.schema(
+                LINKBASE_SCHEMA + ", round int"
+            ).parquet(os.path.join(self.ckpt, "linkbase"))
             expiring = lb_all.filter(F.col("round") == exp_round).select(
                 "url", "host"
             )
@@ -1010,6 +1082,7 @@ class CrawlRun:
             if last is None:
                 self.bootstrap(seeds)
             else:
+                self._recover_enqueue()
                 self._validate_resume_spec()
                 start = last
         else:

@@ -211,8 +211,15 @@ def apply_extract_rules(cand: DataFrame,
     if not rules:
         return cand
     ref = F.col(referer_col)
-    ref_host = F.try_parse_url(ref, F.lit("HOST"))
-    ref_path = F.coalesce(F.try_parse_url(ref, F.lit("PATH")), F.lit("/"))
+    # lowercase the host (GURL.host() is canonical-lowercase; a raw
+    # referer may not be) and map a pathless referer to "/" — try_parse_url
+    # returns '' (not NULL) for PATH on 'http://h', so nullif first. Both
+    # keep this gate in lockstep with the simulator twin's urlsplit.
+    ref_host = F.lower(F.try_parse_url(ref, F.lit("HOST")))
+    ref_path = F.coalesce(
+        F.nullif(F.try_parse_url(ref, F.lit("PATH")), F.lit("")),
+        F.lit("/"),
+    )
     whens = [
         F.when(
             ref_host.rlike(f"^{glob_to_regex(host_g)}$")

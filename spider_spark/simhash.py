@@ -79,6 +79,35 @@ def simhash64(text: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
+def _sorted_vote_tables(vocab: dict[str, int]):
+    """(term→rank index, ±1 votes_lut) in SORTED-term order — the ONE
+    summation order both weighted paths share: float vote sums at
+    exact-cancellation boundaries are order-sensitive, and the
+    join-vs-dict bit-equality contract depends on identical order."""
+    terms = sorted(vocab)
+    hashes = np.fromiter((vocab[t] for t in terms), dtype=np.uint64,
+                         count=len(terms))
+    bits = (
+        np.unpackbits(hashes.view(np.uint8).reshape(-1, 8)[:, ::-1], axis=1)
+        .astype(np.float64)
+    )
+    return {t: i for i, t in enumerate(terms)}, bits * 2.0 - 1.0
+
+
+def _weighted_sig(votes_lut: np.ndarray, idx: np.ndarray,
+                  w: np.ndarray) -> np.int64:
+    """One doc's (sorted-vocab rank, weight) pairs → 64-bit signature.
+    The SHARED kernel of make_weighted_simhash_udf and
+    weighted_simhash_join — any change here changes both identically."""
+    order = np.argsort(idx, kind="stable")
+    votes = (votes_lut[idx[order]] * w[order][:, None]).sum(axis=0)
+    sig = np.uint64(0)
+    for b in range(64):
+        if votes[b] > 0:
+            sig |= np.uint64(1) << np.uint64(63 - b)
+    return np.int64(sig)
+
+
 def make_weighted_simhash_udf(idf: dict[str, float] | None = None,
                               default_idf: float = 1.0):
     """Factory for the tf·idf-weighted simhash UDF (D1 full fidelity:
@@ -102,39 +131,19 @@ def make_weighted_simhash_udf(idf: dict[str, float] | None = None,
                 if t not in vocab:
                     vocab[t] = _token_hash64(t)
         if vocab:
-            # SORTED-term vocab order: per-doc votes then sum in a
-            # deterministic order shared with weighted_simhash_join —
-            # float vote sums at exact-cancellation boundaries are
-            # order-sensitive, and the two paths must be bit-equal
-            terms = sorted(vocab)
-            hashes = np.fromiter((vocab[t] for t in terms),
-                                 dtype=np.uint64, count=len(terms))
-            bits = (
-                np.unpackbits(hashes.view(np.uint8).reshape(-1, 8)[:, ::-1],
-                              axis=1)
-                .astype(np.float64)
-            )
-            votes_lut = bits * 2.0 - 1.0
-            index = {t: i for i, t in enumerate(terms)}
-            idf_arr = np.fromiter(
-                (idf.get(t, default_idf) for t in terms),
-                dtype=np.float64, count=len(terms),
-            )
+            index, votes_lut = _sorted_vote_tables(vocab)
+            idf_arr = np.empty(len(index), dtype=np.float64)
+            for t, i in index.items():
+                idf_arr[i] = idf.get(t, default_idf)
         out = np.zeros(len(text), dtype=np.int64)
         for row, toks in enumerate(token_lists):
             if not toks:
                 continue
             idx = np.fromiter((index[t] for t in toks), dtype=np.int64,
                               count=len(toks))
-            # tf via bincount over the batch vocab ids; weight = tf · idf
+            # tf via unique counts over the batch vocab ids; w = tf · idf
             uniq, tf = np.unique(idx, return_counts=True)
-            w = tf * idf_arr[uniq]
-            votes = (votes_lut[uniq] * w[:, None]).sum(axis=0)
-            sig = np.uint64(0)
-            for b in range(64):
-                if votes[b] > 0:
-                    sig |= np.uint64(1) << np.uint64(63 - b)
-            out[row] = np.int64(sig)
+            out[row] = _weighted_sig(votes_lut, uniq, tf * idf_arr[uniq])
         return pd.Series(out)
 
     return weighted_simhash64
@@ -150,7 +159,7 @@ def corpus_idf(docs: DataFrame, text_col: str = "text",
     n = docs.count()
     terms = docs.select(
         F.explode(
-            F.array_distinct(F.split(F.trim(F.col(text_col)), r"\s+"))
+            F.array_distinct(F.split(F.trim(F.col(text_col)), r"(?U)\s+"))
         ).alias("term")
     ).filter(F.col("term") != "")
     df_tab = terms.groupBy("term").agg(F.count("*").alias("df"))
@@ -173,18 +182,7 @@ def _signature_from_pairs_udf():
                 if t not in vocab:
                     vocab[t] = _token_hash64(t)
         if vocab:
-            # sorted-term order, matching make_weighted_simhash_udf (see
-            # the note there: float vote sums must share one order)
-            terms = sorted(vocab)
-            hashes = np.fromiter((vocab[t] for t in terms),
-                                 dtype=np.uint64, count=len(terms))
-            bits = (
-                np.unpackbits(hashes.view(np.uint8).reshape(-1, 8)[:, ::-1],
-                              axis=1)
-                .astype(np.float64)
-            )
-            votes_lut = bits * 2.0 - 1.0
-            index = {t: i for i, t in enumerate(terms)}
+            index, votes_lut = _sorted_vote_tables(vocab)
         out = np.zeros(len(tw), dtype=np.int64)
         for row, pairs in enumerate(tw):
             if not len(pairs):
@@ -193,13 +191,7 @@ def _signature_from_pairs_udf():
                               dtype=np.int64, count=len(pairs))
             w = np.fromiter((p["w"] for p in pairs),
                             dtype=np.float64, count=len(pairs))
-            order = np.argsort(idx, kind="stable")
-            votes = (votes_lut[idx[order]] * w[order][:, None]).sum(axis=0)
-            sig = np.uint64(0)
-            for b in range(64):
-                if votes[b] > 0:
-                    sig |= np.uint64(1) << np.uint64(63 - b)
-            out[row] = np.int64(sig)
+            out[row] = _weighted_sig(votes_lut, idx, w)
         return pd.Series(out)
 
     return sig_of
@@ -221,9 +213,12 @@ def weighted_simhash_join(docs: DataFrame, idf_table: DataFrame,
     missing from the table — identical semantics to the dict UDF, and the
     pytest differential asserts bit-equality on a shared corpus.
     """
+    # (?U): Java \s is ASCII-only by default while the dict UDF's pandas
+    # str.split() breaks on Unicode whitespace — the bit-equality contract
+    # needs both paths to tokenize identically (U+00A0/U+3000 verified)
     terms = docs.select(
         F.col(id_col).alias("id"),
-        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("term"),
+        F.explode(F.split(F.trim(F.col(text_col)), r"(?U)\s+")).alias("term"),
     ).filter(F.col("term") != "")
     tf = terms.groupBy("id", "term").agg(F.count("*").alias("tf"))
     weighted = tf.join(idf_table, "term", "left").select(

@@ -202,7 +202,22 @@ def simulate(
             else:
                 frontier[url] = (host, min(depth, cur[1]), vip or cur[2])
 
+    def cap_frontier():
+        """Twin of CrawlRun._cap_frontier: per-host (vip desc, depth asc,
+        url asc) head, overflow dropped."""
+        if spec.frontier_host_cap is None:
+            return
+        by_h: dict[str, list[tuple[bool, int, str]]] = {}
+        for url, (host, depth, vip) in frontier.items():
+            by_h.setdefault(host, []).append((not vip, depth, url))
+        for host, rows in by_h.items():
+            if len(rows) > spec.frontier_host_cap:
+                rows.sort()
+                for _, _, url in rows[spec.frontier_host_cap:]:
+                    del frontier[url]
+
     add(prepare([(u, 0, None) for u in seeds], from_seed=True))
+    cap_frontier()  # the engine caps the bootstrap frontier too
     seen: set[str] = set()
     crawled_round: dict[str, int] = {}  # url → latest crawl round (TTL)
     consec: dict[str, int] = {}
@@ -302,17 +317,8 @@ def simulate(
             if x[0] not in batch
         ])
         # per-host frontier depth cap (reducer_compress_control.cc:128-169
-        # twin): keep each host's (vip desc, depth asc, url asc) head,
-        # drop overflow — identical rule to CrawlRun._cap_frontier
-        if spec.frontier_host_cap is not None:
-            by_h: dict[str, list[tuple[bool, int, str]]] = {}
-            for url, (host, depth, vip) in frontier.items():
-                by_h.setdefault(host, []).append((not vip, depth, url))
-            for host, rows in by_h.items():
-                if len(rows) > spec.frontier_host_cap:
-                    rows.sort()
-                    for _, _, url in rows[spec.frontier_host_cap:]:
-                        del frontier[url]
+        # twin) at the merge, same rule as the bootstrap cap
+        cap_frontier()
         if not frontier and not admitted:
             break
 

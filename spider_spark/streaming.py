@@ -89,7 +89,16 @@ def session_signs(sessions: DataFrame, uid_col: str = "uid") -> DataFrame:
     1-based session ordinal``) — the streaming twin of
     ``logs.sessionize(with_sign=True)``. Runs on the DRAINED aggregate
     (availableNow / foreachBatch output): the per-uid ordinal is a rank
-    over session starts, which needs the uid's finished session list."""
+    over session starts, which needs the uid's finished session list.
+
+    Parity caveats vs the batch path (inherent, not bugs): (1) a hit
+    EXACTLY ``gap`` after its predecessor closes the session here
+    (``session_window`` merges on ``< gap``) but not in the batch
+    segmenter (splits on ``> gap``) — real clickstream timestamps don't
+    sit on the boundary, and the reference's own two segmenters share
+    this looseness; (2) the md5 input stringifies ``first_hit``, so both
+    pipelines must feed the SAME ts type (timestamp here; a micros-long
+    batch twin produces different — equally valid — signs)."""
     w = Window.partitionBy(uid_col).orderBy(F.asc("first_hit"))
     sid = F.row_number().over(w)
     return sessions.withColumn(

@@ -160,3 +160,13 @@ def test_jd_suning_uncapped_beyond_max_build(spark):
     tb = "http://list.taobao.com/market/x.htm?cat=1"
     got_tb = _built(spark, [(tb, 7)], max_build=3)
     assert len(got_tb) == 2  # min(7, 3) - 1
+
+
+def test_page_num_sanity_ceiling(spark):
+    """A hostile/garbage page claiming 2^30 pages must not materialize a
+    billion-element array — the fan-out is bounded by the documented
+    ceiling (a deliberate deviation; real pagination is ≪ 10^5)."""
+    sn = "http://search.suning.com/emall/strd.do?ci=2&cityId=9"
+    df = spark.createDataFrame([(sn, 1 << 30)], "url string, page_num int")
+    n = P.build_next_list_pages(df).count()
+    assert n == P.PAGE_NUM_SANITY_CEILING - 1

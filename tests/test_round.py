@@ -1048,3 +1048,121 @@ def test_budget_time_windows_twin_e2e(spark, tmp_path_factory, fused):
     # the flip is visible: 1 admit in rounds 0-1, 3 per round after
     assert [len(b) for b in rounds] == [1, 1, 3, 3, 1]
     assert run.seen_urls() == want["seen"]
+
+
+def test_legacy_linkbase_schema_and_null_failcnt(spark, tmp_path_factory):
+    """A checkpoint holding pre-widening 4-column linkbase deltas beside
+    new 8-column ones must read under the bound schema (old rows NULL in
+    the new columns, new rows keep theirs), and the D/R merge must treat
+    a NULL update_fail_cnt as 0 — not silently vanish the row."""
+    import os
+
+    s = "http://lg.example.com/p/0"
+    a = "http://lg.example.com/p/1"
+    adj = {s: [a], a: []}
+    docs = _mk_docs(spark, adj)
+    robots = _allow_all_robots(spark, ["lg.example.com"])
+    rspec = RoundSpec(n_buckets=4, max_depth=2, max_rounds=4,
+                      politeness=PolitenessSpec(qps=1.0, round_seconds=5.0))
+    ck = str(tmp_path_factory.mktemp("ck_legacy"))
+    run = CrawlRun(spark, docs, robots, ck, rspec)
+    run.run(spark.createDataFrame([(s,)], "url string"))
+    # retrofit a LEGACY delta: rewrite round=0 with only the old 4 columns
+    d0 = os.path.join(ck, "linkbase", "round=0")
+    legacy = spark.read.parquet(d0).select(
+        "url", "host", "depth", "success").cache()
+    legacy.count()
+    legacy.write.mode("overwrite").parquet(d0)
+    lb = run._linkbase(run.last_committed_round() - 1)
+    assert set(lb.columns) >= {"url", "response_code", "http_header",
+                               "last_fetch_ts", "update_fail_cnt"}
+    rows = {r["url"]: r for r in lb.collect()}
+    assert rows[s]["update_fail_cnt"] is None      # legacy row → NULL
+    assert rows[a]["update_fail_cnt"] == 0         # new row keeps value
+    # two R commands against the legacy row: NULL must count as 0 →
+    # fail cnt 2 < 3, the row SURVIVES (and is not silently dropped)
+    cmds = spark.createDataFrame(
+        [(s, "R", 9), (s, "R", 10)], "url string, cmd string, round int"
+    )
+    met = run.compact_linkbase(commands=cmds)
+    left = {r["url"]: r for r in run._linkbase(
+        met["compacted_through"]).collect()}
+    assert met["cmd_deleted"] == 0
+    assert s in left and left[s]["update_fail_cnt"] == 2
+
+
+def test_bootstrap_respects_frontier_host_cap(spark, tmp_path_factory):
+    """Round 0's frontier must honor the per-host cap too — otherwise a
+    host-concentrated seed list hands the fused kernel an uncapped Arrow
+    group on the first round."""
+    host = "bc.example.com"
+    pages = [f"http://{host}/p/{i}" for i in range(10)]
+    adj = {p: [] for p in pages}
+    docs = _mk_docs(spark, adj)
+    robots = _allow_all_robots(spark, [host])
+    rspec = RoundSpec(n_buckets=4, max_depth=2, max_rounds=3,
+                      politeness=PolitenessSpec(qps=1.0, round_seconds=2.0),
+                      frontier_host_cap=4)
+    ck = str(tmp_path_factory.mktemp("ck_bcap"))
+    run = CrawlRun(spark, docs, robots, ck, rspec)
+    res = run.run(spark.createDataFrame([(p,) for p in pages], "url string"))
+    import os
+    f0 = spark.read.parquet(os.path.join(ck, "round=0000", "frontier"))
+    assert f0.count() == 4
+    # simulator twin (cap applies to the seed frontier there too)
+    want = sim.simulate(
+        pages, adj, _sim_robots_allow([host]),
+        sim.SimSpec(default_budget=2, max_depth=2, max_rounds=3,
+                    frontier_host_cap=4),
+    )
+    rounds = [r["admitted_urls"] for r in res]
+    while rounds and not rounds[-1]:
+        rounds.pop()
+    assert rounds == want["rounds"]
+
+
+def test_enqueue_crash_recovery(spark, tmp_path_factory):
+    """enqueue stages + marks + swaps: a crash before the marker leaves
+    the old frontier intact (staging is garbage); a crash after the
+    marker is completed idempotently on the next resume/enqueue."""
+    import json
+    import os
+    import shutil
+
+    s = "http://eq.example.com/p/0"
+    a = "http://eq.example.com/p/1"
+    adj = {s: [a], a: []}
+    docs = _mk_docs(spark, adj)
+    robots = _allow_all_robots(spark, ["eq.example.com"])
+    rspec = RoundSpec(n_buckets=4, max_depth=2, max_rounds=4,
+                      politeness=PolitenessSpec(qps=1.0, round_seconds=5.0))
+    ck = str(tmp_path_factory.mktemp("ck_eq"))
+    run = CrawlRun(spark, docs, robots, ck, rspec)
+    seeds_df = spark.createDataFrame([(s,)], "url string")
+    run.run(seeds_df)
+    r = run.last_committed_round()
+    rdir = os.path.join(ck, f"round={r:04d}")
+    before = {x["url"] for x in run._read(r, "frontier").collect()}
+
+    # crash BEFORE the marker: stage a bogus frontier, no marker
+    bogus = spark.createDataFrame(
+        [("http://eq.example.com/bogus", "eq.example.com", 0, None, True)],
+        "url string, host string, depth int, referer string, vip boolean",
+    )
+    bogus.write.mode("overwrite").parquet(
+        os.path.join(rdir, "_frontier_staged"))
+    run._recover_enqueue()
+    assert not os.path.isdir(os.path.join(rdir, "_frontier_staged"))
+    assert {x["url"] for x in run._read(r, "frontier").collect()} == before
+
+    # crash AFTER the marker (staged complete, swap not executed): the
+    # staged frontier is authoritative on recovery
+    bogus.write.mode("overwrite").parquet(
+        os.path.join(rdir, "_frontier_staged"))
+    with open(os.path.join(rdir, "_enqueue_pending.json"), "w") as f:
+        json.dump({"round": r}, f)
+    run._recover_enqueue()
+    got = {x["url"] for x in run._read(r, "frontier").collect()}
+    assert got == {"http://eq.example.com/bogus"}
+    assert not os.path.exists(os.path.join(rdir, "_enqueue_pending.json"))
+    assert not os.path.isdir(os.path.join(rdir, "_frontier_trash"))

@@ -246,3 +246,25 @@ def test_merge_dns_with_blacklist(spark):
         "h2": ["3.3.3.3"],
         "h3": ["5.5.5.5"],
     }
+
+
+def test_extract_rules_pathless_and_case_referers(spark):
+    """A pathless referer maps to path '/' and hosts compare lowercased —
+    previously try_parse_url's '' path made the '/*' rule unmatched and a
+    mixed-case referer host bypassed its rule (whitelist bypass)."""
+    from spider_spark.selector import apply_extract_rules
+
+    rules = [("*.shop.com", "/*", r"http://ok\.com/\d+")]
+    rows = [
+        ("http://ok.com/1", "http://ref.shop.com"),         # pathless ref
+        ("http://evil.com/x", "http://ref.shop.com"),       # must drop
+        ("http://ok.com/2", "http://REF.Shop.COM/a"),       # mixed case
+        ("http://evil.com/y", "http://REF.Shop.COM/a"),     # must drop
+    ]
+    cand = spark.createDataFrame(rows, "url string, referer string")
+    got = {(r["url"], r["referer"])
+           for r in apply_extract_rules(cand, rules).collect()}
+    assert got == {
+        ("http://ok.com/1", "http://ref.shop.com"),
+        ("http://ok.com/2", "http://REF.Shop.COM/a"),
+    }

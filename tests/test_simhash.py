@@ -224,3 +224,27 @@ def test_weighted_simhash_join_matches_dict_udf(spark):
     }
     assert got == want
     assert got[3] == 0
+
+
+def test_weighted_join_unicode_whitespace_parity(spark):
+    """The join path's (?U)\\s+ tokenizer must split on the same Unicode
+    whitespace as the dict UDF's pandas str.split() — U+00A0 / U+3000
+    between tokens previously produced different term sets."""
+    from pyspark.sql import functions as F
+
+    from spider_spark import simhash as sh
+
+    docs = spark.createDataFrame(
+        [(0, "alpha beta　gamma delta"),
+         (1, "alpha beta gamma delta")],
+        "doc_id long, text string",
+    )
+    idf_tab = sh.corpus_idf(docs)
+    idf = {r["term"]: r["idf"] for r in idf_tab.collect()}
+    udf = sh.make_weighted_simhash_udf(idf)
+    want = {r["doc_id"]: r["s"] for r in
+            docs.select("doc_id", udf(F.col("text")).alias("s")).collect()}
+    got = {r["doc_id"]: r["simhash"] for r in
+           sh.weighted_simhash_join(docs, idf_tab).collect()}
+    assert got == want
+    assert want[0] == want[1]  # same tokens → same signature
