@@ -383,19 +383,69 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def registered_domains(spark, sf):
-        """P6 (ParseHost, api/base.cc:141-201): registrable-domain split."""
+        """P6 (ParseHost, api/base.cc:141-201) against the FULL tld.dat
+        table (data_tld, 3,599 suffixes): longest-proper-suffix match;
+        host shapes exercise 1/2/3-label suffixes, the reference data's
+        co.uk quirk (its tld.dat has 'uk' but not 'co.uk'), and the
+        no-match → NULL path. Runs the broadcast-join scale path
+        (attach_registered_domain); pytest covers the column variant and
+        the pure-python twin differentially."""
         s = _t(spark, sf, "supplier")
-        host = F.when(
-            F.col("s_suppkey") % 3 == 0,
-            F.concat(F.lit("www.shop"), F.col("s_suppkey").cast("string"),
-                     F.lit(".co.uk")),
-        ).otherwise(
-            F.concat(F.lit("a.b.site"), F.col("s_suppkey").cast("string"),
-                     F.lit(".example.com"))
+        k = F.col("s_suppkey")
+        ks = k.cast("string")
+        host = (
+            F.when(k % 5 == 0, F.concat(F.lit("www.shop"), ks, F.lit(".co.uk")))
+            .when(k % 5 == 1, F.concat(F.lit("lab.u"), ks, F.lit(".ac.jp")))
+            .when(k % 5 == 2,
+                  F.concat(F.lit("x.school"), ks, F.lit(".act.edu.au")))
+            .when(k % 5 == 3,
+                  F.concat(F.lit("a.b.site"), ks, F.lit(".example.com")))
+            .otherwise(F.concat(F.lit("nomatch"), ks, F.lit(".localdomain")))
         )
-        return s.select(
-            "s_suppkey", host.alias("host"),
-            urlkit.registered_domain(host).alias("domain"),
+        return urlkit.attach_registered_domain(
+            s.select("s_suppkey", host.alias("host"))
+        )
+
+    def rule_book(spark, sf):
+        """P7's full rule book (crawler_selector_util.cc:32-237 shipped as
+        data in spider_spark.rulebook): WillFilterAccordingRules decision +
+        matched search engine per url — blacklist host, restrict-to-
+        homepage host, rule-book rows (Taobao trade, generic .com login),
+        path-suffix and clean-keep cases."""
+        from spider_spark import rulebook
+
+        p = _t(spark, sf, "part")
+        k = F.col("p_partkey")
+        ks = k.cast("string")
+        url = (
+            F.when(k % 7 == 0, F.lit("http://ptlogin2.qq.com/x"))
+            .when(k % 7 == 1, F.concat(F.lit("http://weibo.com/u/"), ks))
+            .when(k % 7 == 2, F.lit("http://weibo.com/"))
+            .when(k % 7 == 3,
+                  F.concat(F.lit("http://trade.taobao.com/trade/item"), ks,
+                           F.lit(".htm?id=1")))
+            .when(k % 7 == 4,
+                  F.concat(F.lit("http://www.site"), (k % 50).cast("string"),
+                           F.lit(".com/a/login/page?next=1")))
+            .when(k % 7 == 5,
+                  F.concat(F.lit("http://files.x.com/f/"), ks, F.lit(".pdf")))
+            .otherwise(
+                F.concat(F.lit("http://ok.site"), (k % 50).cast("string"),
+                         F.lit(".org/article/"), ks))
+        )
+        urls = p.select("p_partkey", url.alias("url")).withColumns({
+            "host": urlkit.url_host(F.col("url")),
+            "path": urlkit.url_path(F.col("url")),
+            "query": urlkit.url_query(F.col("url")),
+        })
+        return urls.select(
+            "p_partkey", "url",
+            rulebook.will_filter_according_rules(
+                F.col("url"), F.col("host"), F.col("path"), F.col("query")
+            ).alias("filtered"),
+            rulebook.search_engine_of(
+                F.col("host"), F.col("path"), F.col("query")
+            ).alias("engine"),
         )
 
     # -- dedup / text / similarity (training-data ops) ----------------------
@@ -418,6 +468,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return pairs.select(
             "a", "b", F.round("jaccard", 6).alias("jaccard")
+        )
+
+    def dedup_clusters(spark, sf):
+        """Near-dup cluster resolution: minhash pairs → connected
+        components by min-label propagation (dedup.resolve_pair_clusters)
+        → every doc's canonical survivor id (singletons keep themselves).
+        The DuckDB twin closes the same pairs with a recursive CTE."""
+        _ensure_shipped(spark)
+        d = _t(spark, sf, "documents")
+        pairs = dedup.minhash_near_duplicates(
+            d, "doc_id", "text", k=128, bands=32, shingle=3, threshold=0.8
+        )
+        clusters = dedup.resolve_pair_clusters(pairs, "a", "b")
+        return (
+            d.select(F.col("doc_id").alias("id"))
+            .join(clusters, "id", "left")
+            .select(
+                F.col("id").alias("doc_id"),
+                F.coalesce("keep_id", "id").alias("keep_id"),
+            )
         )
 
     def token_stats(spark, sf):
@@ -523,6 +593,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ).alias("spans"),
         )
         return extract_outlinks_regex(docs).select("doc_id", "outlink")
+
+    def hub_dig(spark, sf):
+        """A8 hub-page dig (hub_page_dig mapper/reducer, kOutLinkMinNum):
+        per page, countDistinct(extracted outlinks) ≥ threshold → hub.
+        Pages get a VARIABLE link count (2..5 via p_partkey) so the
+        threshold actually cuts; duplicate hrefs prove the DISTINCT."""
+        from spider_spark.spans import extract_outlinks_regex
+
+        p = _t(spark, sf, "part")
+        k = F.col("p_partkey")
+        n_links = (k % 4 + 2).cast("int")  # 2..5 distinct links
+        link_i = lambda i: F.concat(
+            F.lit("http://h"), ((k + i) % 40).cast("string"),
+            F.lit(".example.com/l/"), F.lit(str(i)),
+        )
+        a_tag = lambda i: F.when(
+            n_links > i,
+            F.concat(F.lit('<a href="'), link_i(i), F.lit('">x</a>')),
+        ).otherwise(F.lit(""))
+        markup = F.concat(a_tag(0), a_tag(1), a_tag(2), a_tag(3), a_tag(4),
+                          a_tag(0))  # dup of link 0 → DISTINCT matters
+        docs = p.select(
+            F.col("p_partkey").alias("doc_id"),
+            F.array(F.struct(
+                F.lit("text/html").alias("kind"), markup.alias("text"),
+                F.lit(None).cast("string").alias("media_ref"),
+                F.lit(0).alias("offset"),
+            )).alias("spans"),
+        )
+        out = extract_outlinks_regex(docs)
+        return (
+            out.groupBy("doc_id")
+            .agg(F.countDistinct("outlink").alias("n_outlinks"))
+            .filter(F.col("n_outlinks") >= 4)
+        )
 
     def proxy_route(spark, sf):
         """L3 (ip_url_split.cc:64-119): heavy ips routed via PROXY."""
@@ -890,8 +995,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_rules": url_rules,
         "reverse_hosts": reverse_hosts,
         "registered_domains": registered_domains,
+        "rule_book": rule_book,
         "dedup_stats": dedup_stats,
         "minhash_near_dups": minhash_near_dups,
+        "dedup_clusters": dedup_clusters,
+        "hub_dig": hub_dig,
         "token_stats": token_stats,
         "lang_detect": lang_detect,
         "doc_fingerprints": doc_fingerprints,
@@ -1181,19 +1289,61 @@ def oracle_sql() -> dict[str, str]:
             FROM h
         """,
         "registered_domains": """
+            -- ParseHost vs the reference tld.dat DATA: 'uk' is an entry
+            -- but 'co.uk' is NOT, so www.shopN.co.uk parses domain
+            -- 'co.uk' (the reference's own behavior); 'ac.jp' and
+            -- 'act.edu.au' are 2-/3-label entries; '.localdomain'
+            -- matches nothing -> NULL (ParseHost returns false)
             WITH h AS (
-              SELECT s_suppkey,
-                     CASE WHEN s_suppkey % 3 = 0
-                          THEN 'www.shop' || s_suppkey || '.co.uk'
-                          ELSE 'a.b.site' || s_suppkey || '.example.com'
+              SELECT s_suppkey, s_suppkey % 5 AS m,
+                     CASE s_suppkey % 5
+                          WHEN 0 THEN 'www.shop' || s_suppkey || '.co.uk'
+                          WHEN 1 THEN 'lab.u' || s_suppkey || '.ac.jp'
+                          WHEN 2 THEN 'x.school' || s_suppkey
+                                      || '.act.edu.au'
+                          WHEN 3 THEN 'a.b.site' || s_suppkey
+                                      || '.example.com'
+                          ELSE 'nomatch' || s_suppkey || '.localdomain'
                      END AS host
               FROM supplier)
             SELECT s_suppkey, host,
-                   CASE WHEN s_suppkey % 3 = 0
-                        THEN 'shop' || s_suppkey || '.co.uk'
-                        ELSE 'example.com'
-                   END AS domain
+                   CASE m WHEN 0 THEN 'uk' WHEN 1 THEN 'ac.jp'
+                          WHEN 2 THEN 'act.edu.au' WHEN 3 THEN 'com'
+                          ELSE NULL END AS tld,
+                   CASE m WHEN 0 THEN 'co.uk'
+                          WHEN 1 THEN 'u' || s_suppkey || '.ac.jp'
+                          WHEN 2 THEN 'school' || s_suppkey
+                                      || '.act.edu.au'
+                          WHEN 3 THEN 'example.com'
+                          ELSE NULL END AS domain,
+                   CASE m WHEN 0 THEN 'www.shop' || s_suppkey
+                          WHEN 1 THEN 'lab' WHEN 2 THEN 'x'
+                          WHEN 3 THEN 'a.b.site' || s_suppkey
+                          ELSE NULL END AS subdomain
             FROM h
+        """,
+        "rule_book": """
+            WITH u AS (
+              SELECT p_partkey, p_partkey % 7 AS m,
+                     CASE p_partkey % 7
+                          WHEN 0 THEN 'http://ptlogin2.qq.com/x'
+                          WHEN 1 THEN 'http://weibo.com/u/' || p_partkey
+                          WHEN 2 THEN 'http://weibo.com/'
+                          WHEN 3 THEN 'http://trade.taobao.com/trade/item'
+                                      || p_partkey || '.htm?id=1'
+                          WHEN 4 THEN 'http://www.site' || (p_partkey % 50)
+                                      || '.com/a/login/page?next=1'
+                          WHEN 5 THEN 'http://files.x.com/f/' || p_partkey
+                                      || '.pdf'
+                          ELSE 'http://ok.site' || (p_partkey % 50)
+                               || '.org/article/' || p_partkey
+                     END AS url
+              FROM part)
+            SELECT p_partkey, url,
+                   m IN (0, 1, 3, 4, 5) AS filtered,
+                   CASE m WHEN 3 THEN 'Taobao' WHEN 4 THEN 'Login'
+                          ELSE NULL END AS engine
+            FROM u
         """,
         "dedup_stats": """
             SELECT source, COUNT(*) AS n_docs,
@@ -1223,6 +1373,44 @@ def oracle_sql() -> dict[str, str]:
               FROM sh a, sh b WHERE a.doc_id < b.doc_id)
             SELECT a, b, ROUND(jaccard, 6) AS jaccard
             FROM pairs WHERE jaccard >= 0.8
+        """,
+        "dedup_clusters": """
+            -- connected components over the exact-jaccard pair graph via
+            -- recursive closure: every doc's minimum reachable id is its
+            -- component's canonical survivor (min-id rule)
+            WITH RECURSIVE sh AS (
+              SELECT doc_id,
+                     CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN []
+                     ELSE list_distinct(list_transform(
+                       range(1, greatest(len(regexp_split_to_array(trim(text),
+                         '\\s+')) - 2, 1) + 1),
+                       i -> array_to_string(regexp_split_to_array(trim(text),
+                         '\\s+')[i:i+2], ' ')
+                     )) END AS grams
+              FROM documents),
+            pairs AS (
+              SELECT a.doc_id AS a, b.doc_id AS b
+              FROM sh a, sh b
+              WHERE a.doc_id < b.doc_id
+                AND len(list_intersect(a.grams, b.grams))::DOUBLE
+                    / len(list_distinct(list_concat(a.grams, b.grams)))
+                    >= 0.8),
+            edges AS (
+              SELECT a AS src, b AS dst FROM pairs
+              UNION
+              SELECT b AS src, a AS dst FROM pairs),
+            reach(id, r) AS (
+              SELECT doc_id, doc_id FROM documents
+              UNION
+              SELECT reach.id, e.dst FROM reach
+              JOIN edges e ON reach.r = e.src)
+            SELECT id AS doc_id, MIN(r) AS keep_id
+            FROM reach GROUP BY id
+        """,
+        "hub_dig": """
+            SELECT p_partkey AS doc_id,
+                   CAST(p_partkey % 4 + 2 AS BIGINT) AS n_outlinks
+            FROM part WHERE p_partkey % 4 + 2 >= 4
         """,
         "token_stats": f"""
             SELECT lang, COUNT(*) AS n_docs,

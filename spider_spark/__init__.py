@@ -21,7 +21,13 @@ round        the micro-batch crawl round: extract→dedupe→score→schedule→
              fetch(simulated)→merge, checkpoint/resume with lineage
 logs         pv/search/click log pipelines feeding the scorer
 selector     multi-source frontier union, VIP/page-N/category gates, URL
-             transforms, DNS/ip attach, proxy routing, updater, evaluation
+             transforms (incl. the faithful Baidu/Google redirect-target
+             parsers), DNS/ip attach, proxy routing, updater, evaluation
+rulebook     P7's full selector rule config as DATA (host black/restrict
+             lists, ~70-row site rule book, strict variants) + the
+             WillFilterAccordingRules gate as one column expression
+data_tld     the 3,599-entry public-suffix table behind ParseHost (P6)
+data_baidu_keys  Baidu /link XOR-cipher constants (P13 crack data)
 streaming    Structured-Streaming crawl loop (foreachBatch rounds, session
              windows, recrawl-TTL gate)
 sinks        partitioned fetch-task writer/reader (S4 OutputWithFilePrefix)

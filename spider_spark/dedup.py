@@ -260,6 +260,85 @@ def minhash_near_duplicates(docs: DataFrame, id_col: str = "doc_id",
                                threshold)
 
 
+# -- near-dup cluster resolution ---------------------------------------------
+
+
+def resolve_pair_clusters(pairs: DataFrame, a_col: str = "a",
+                          b_col: str = "b",
+                          max_iters: int = 50) -> DataFrame:
+    """Resolve near-dup PAIRS into keep/drop clusters: connected
+    components by iterative min-label propagation, no graph library.
+    Returns (id, keep_id) for every id appearing in a pair — ``keep_id``
+    is the component's minimum id, the same deterministic canonical-
+    survivor rule exact_duplicates uses. A dedup job keeps rows where
+    ``id == keep_id`` (or ids absent from the output: singletons).
+
+    Pairs alone don't dedup a corpus — a~b and b~c must collapse to ONE
+    survivor across {a,b,c} even though (a,c) may never have been
+    emitted. Label propagation floods the component minimum along edges;
+    it converges in ≤ diameter(component) rounds, and near-dup clusters
+    are shallow (dup chains, not long paths), so the loop exits early on
+    a converged count. Each iteration is one join + one groupBy over the
+    edge list — both shuffles keyed by id, sub-quadratic, skew-bounded by
+    the max component's edge count. Per-iteration eager localCheckpoint
+    keeps the plan flat (iterative lineage would otherwise double per
+    round) and lets the previous iteration's blocks free. At 10^10-edge
+    scale swap the loop body for the large-star/small-star variant
+    (Kiveris et al., "Connected Components in MapReduce"), which bounds
+    iterations by log(n); the per-iteration plumbing here is unchanged.
+    """
+    spark = pairs.sparkSession
+    e = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    edges = (
+        e.unionByName(e.select(F.col("dst").alias("src"),
+                               F.col("src").alias("dst")))
+        .distinct().persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id")).distinct()
+        .withColumn("keep_id", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iters):
+        nb = (
+            edges.join(labels, edges.src == labels.id)
+            .select(F.col("dst").alias("id"), "keep_id")
+        )
+        new_labels = (
+            labels.unionByName(nb)
+            .groupBy("id").agg(F.min("keep_id").alias("keep_id"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.join(labels.withColumnRenamed("keep_id", "_old"),
+                            "id")
+            .filter(F.col("keep_id") != F.col("_old")).count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"resolve_pair_clusters did not converge in {max_iters} "
+            "iterations — component diameter exceeds the bound; raise "
+            "max_iters or use the large-star/small-star variant"
+        )
+    edges.unpersist()
+    return labels
+
+
+def dedup_keep_rows(docs: DataFrame, clusters: DataFrame,
+                    id_col: str = "doc_id") -> DataFrame:
+    """Apply a cluster table: keep singletons and each cluster's
+    canonical survivor (id == keep_id)."""
+    j = docs.join(
+        clusters.withColumnRenamed("id", id_col), id_col, "left"
+    )
+    return j.filter(
+        F.col("keep_id").isNull() | (F.col(id_col) == F.col("keep_id"))
+    ).drop("keep_id")
+
+
 # -- embedding cosine near-dup ---------------------------------------------
 
 
@@ -300,7 +379,8 @@ def embedding_near_duplicates(emb: DataFrame, id_col: str = "vec_id",
                               threshold: float = 0.95,
                               n_bands: int = 16, band_planes: int = 12,
                               seed: int = 42,
-                              max_bucket_size: int | None = 10_000) -> DataFrame:
+                              max_bucket_size: int | None = 10_000,
+                              reliable: bool = False) -> DataFrame:
     """Near-dup pairs by cosine ≥ threshold: BANDED random-hyperplane LSH
     (candidate iff ANY band's sign-pattern matches) → exact cosine verify
     on collisions only.
@@ -329,6 +409,11 @@ def embedding_near_duplicates(emb: DataFrame, id_col: str = "vec_id",
 
     Rows with NULL/empty/wrong-dimension vectors are excluded (they have
     no well-defined cosine neighborhood).
+
+    ``reliable=True``: checkpoint the signature table to the persistent
+    ``setCheckpointDir`` store instead of executor-local blocks — the
+    cluster escape hatch for executor loss / dynamic allocation (a lost
+    local block otherwise fails the query loudly). Default unchanged.
     """
     from .similarity import _deterministic_planes, cosine_expr
 
@@ -346,15 +431,16 @@ def embedding_near_duplicates(emb: DataFrame, id_col: str = "vec_id",
     dim = int(probe["d"])
     planes = _deterministic_planes(dim, n_bands * band_planes, seed)
     bk = _band_keys_udf(planes, n_bands, band_planes, dim)
-    sig = (
-        emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
-                   bk(F.col(vec_col)).alias("keys"))
-        .filter(F.col("keys").isNotNull())
-        .localCheckpoint(eager=True)
-    )
+    sig = emb.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+        bk(F.col(vec_col)).alias("keys"),
+    ).filter(F.col("keys").isNotNull())
+    sig = sig.checkpoint(eager=True) if reliable \
+        else sig.localCheckpoint(eager=True)
     keyed = sig.select(
         "id", "v", F.posexplode("keys").alias("band", "key")
     )
+    dropped_buckets = 0
     if max_bucket_size is not None:
         # hot keys are few by construction (each absorbs many rows)
         hot = (
@@ -362,6 +448,22 @@ def embedding_near_duplicates(emb: DataFrame, id_col: str = "vec_id",
             .filter(F.col("count") > max_bucket_size)
             .drop("count")
         )
+        # "no silent caps": surface how many (band, key) buckets the cap
+        # excluded — pairs confined to those buckets are not emitted, and
+        # a default-arg caller must be able to tell coverage was
+        # truncated. One tiny agg job over the already-checkpointed sig.
+        dropped_buckets = hot.count()
+        if dropped_buckets:
+            import warnings
+
+            warnings.warn(
+                f"embedding_near_duplicates: {dropped_buckets} (band, key) "
+                f"buckets exceed max_bucket_size={max_bucket_size} and were "
+                "skipped — pairs confined to them are not emitted (members "
+                "still pair through their other bands); raise "
+                "max_bucket_size or run an exact-dup pre-pass",
+                stacklevel=2,
+            )
         keyed = keyed.join(F.broadcast(hot), ["band", "key"], "left_anti")
     other = keyed.select(
         "band", "key",

@@ -114,6 +114,29 @@ def minute_of_round(round_no: int, spec: PolitenessSpec) -> int:
     return int(round_no * spec.round_seconds // 60) % 1440
 
 
+def validate_budget_windows(budgets: DataFrame | None) -> None:
+    """Load-time CHECK on a window-keyed budget dim, matching the
+    reference's SetIpLoadRecords (load_controller.cc:46-92 CHECK-fails a
+    record whose begin > end or whose bounds are unparsable at config-load
+    time). A silently-unmatchable window — begin_min > end_min (the
+    midnight-wrapping shape the reference rejects) or NULL bounds — would
+    otherwise make the host fall back to the default budget all day with
+    no error. One action over a broadcast-sized config dim, run once per
+    crawl (CrawlRun.__init__), never per round."""
+    if budgets is None or "begin_min" not in budgets.columns:
+        return
+    bad = budgets.filter(
+        F.col("begin_min").isNull() | F.col("end_min").isNull()
+        | (F.col("begin_min") > F.col("end_min"))
+    )
+    sample = bad.select("host", "begin_min", "end_min").head(5)
+    if sample:
+        raise ValueError(
+            "invalid budget windows (begin_min > end_min or NULL bounds) "
+            f"— the reference CHECK-fails these at load time: {sample}"
+        )
+
+
 def window_budgets(budgets: DataFrame | None, round_no: int,
                    spec: PolitenessSpec) -> DataFrame | None:
     """L1 time windows (host_load_control.txt record ``host max_conn qps

@@ -70,7 +70,14 @@ class RoundSpec:
     """Knobs of one crawl run. Defaults mirror the reference's deployed
     config (BASELINE.md §A)."""
 
-    n_buckets: int = 32
+    n_buckets: int = 256         # seen-shard / fused-kernel bucket count.
+    # In fused mode a bucket is ONE Arrow group whose input is bounded by
+    # Σ over its hosts of min(host_rows, frontier_host_cap) — so per-group
+    # rows ≈ frontier_size / n_buckets on a spread frontier and ≤
+    # hosts_per_bucket × cap under skew. Size it ≫ executor slots AND so
+    # frontier/n_buckets fits one Arrow batch comfortably (≤ ~10^7 rows);
+    # at a 10^10-row frontier that means n_buckets ≥ ~2048, not this
+    # library default.
     max_depth: int = 4           # extractor depth gate, url.proto:9-11
     max_rounds: int = 50
     politeness: pol.PolitenessSpec = field(default_factory=pol.PolitenessSpec)
@@ -85,9 +92,11 @@ class RoundSpec:
     # stage per round; buckets become host-keyed. Measured fastest config
     # AND best scaling efficiency (BENCH.md §3) — the default
     confirm_hits: bool = True    # verify Bloom hits with an exact join
-    collect_ordering: bool = True  # driver-side ordering witness (tests);
-    # bench runs disable it — the witness collect is test instrumentation,
-    # not part of the round
+    collect_ordering: bool = False  # driver-side ordering witness: tests
+    # opt IN — the witness collects every fetched url to the driver each
+    # round, which is test instrumentation, never part of a production
+    # round (a library-default collect in the hot path would be a
+    # driver-side bottleneck at any real scale)
     recrawl_ttl_rounds: int | None = None  # scheduler.cc:381-393: a url
     # whose latest crawl is ≥ ttl rounds old stops counting as seen (its
     # sign is deleted from the shard), so rediscovery re-admits it.
@@ -145,6 +154,11 @@ class CrawlRun:
         self.spec = spec
         self.ckpt = ckpt_dir
         self.robots = robots
+        # load-time CHECK on window-keyed budget dims (the reference
+        # CHECK-fails bad windows in SetIpLoadRecords at config load; a
+        # silently-unmatchable window would fall back to the default
+        # budget all day with no error) — once per run, never per round
+        pol.validate_budget_windows(budgets)
         self.budgets = budgets
         # per-referer extract whitelist (E3, extractor.cc:202-281): ordered
         # (host_glob, path_glob, target_regex) rules gating which outlinks
@@ -236,6 +250,17 @@ class CrawlRun:
         c = c.filter(
             urlkit.url_rule_filter(F.col("url"), F.col("path"), F.col("query"))
         )
+        # P7's full config: host black/restrict lists + the ~70-row site
+        # rule book (crawler_selector_util.cc:32-237, shipped as data in
+        # rulebook.py) — the reference selector's WillFilterAccordingRules
+        # gate, scheme check relaxed to admit https. Runs on the
+        # post-dedup candidate set; And/Or short-circuiting keeps the
+        # common row at two set probes + two alternation regexes.
+        from .rulebook import rule_book_keep
+
+        c = c.filter(rule_book_keep(
+            F.col("url"), F.col("host"), F.col("path"), F.col("query")
+        ))
         c = pol.robots_level(c, self.robots)
         c = pol.robots_gate(c, self.spec.politeness.robots_policy_level)
         c = c.filter(F.col("depth") <= self.spec.max_depth)
@@ -648,10 +673,18 @@ class CrawlRun:
             ),
             from_code=from_code,
         )
+        # depth merge prefers the EXISTING frontier row (_src=0): enqueuing
+        # a url already pending must not reset its depth to the enqueue
+        # default (0) — that would both reorder the host-cap/admission sort
+        # and restart the max_depth budget for its future outlinks. Only
+        # genuinely new urls take the enqueued depth. (min(struct) picks
+        # the lowest _src first, then the lowest depth within it.)
         merged = (
-            self._read(r, "frontier").unionByName(cand)
+            self._read(r, "frontier").withColumn("_src", F.lit(0))
+            .unionByName(cand.withColumn("_src", F.lit(1)))
             .groupBy("url")
-            .agg(F.min("host").alias("host"), F.min("depth").alias("depth"),
+            .agg(F.min("host").alias("host"),
+                 F.min(F.struct("_src", "depth"))["depth"].alias("depth"),
                  F.min("referer").alias("referer"),
                  F.max("vip").alias("vip"))
         )
@@ -712,6 +745,37 @@ class CrawlRun:
                           ignore_errors=True)
             shutil.rmtree(os.path.join(rdir, "_frontier_trash"),
                           ignore_errors=True)
+
+    def hub_candidates(self, min_outlinks: int = 5) -> DataFrame:
+        """A8 hub-page dig over the round's OWN crawl output
+        (tools/hub_page_dig/mr_hub_page_dig_mapper.cc:17-73 + reducer
+        kOutLinkMinNum=5): a fetched page with ≥ ``min_outlinks`` DISTINCT
+        outlinks is a hub worth re-digging. The reference job scans the
+        crawled page base and counts per-referer distinct outlinks; here
+        the crawled set is the committed linkbase's success urls and the
+        per-page outlinks ride the persisted PACKED adjacency, so the
+        count is ``size(array_distinct(outlinks))`` — no explode, no
+        shuffle beyond the url-keyed join. Feed hubs back with
+        ``run.enqueue(hubs, from_code='N')`` (the navi-boost source slot);
+        being non-VIP they re-admit when their recrawl TTL expires.
+        Returns (url, n_outlinks)."""
+        r = self.last_committed_round()
+        if r is None:
+            raise ValueError(f"no committed rounds under {self.ckpt}")
+        crawled = (
+            self._linkbase(r - 1).filter(F.col("success"))
+            .select("url").distinct()
+        )
+        return (
+            crawled.join(
+                self.adjacency, crawled["url"] == self.adjacency["doc_id"]
+            )
+            .select(
+                "url",
+                F.size(F.array_distinct("outlinks")).alias("n_outlinks"),
+            )
+            .filter(F.col("n_outlinks") >= min_outlinks)
+        )
 
     def last_committed_round(self) -> int | None:
         if not os.path.isdir(self.ckpt):
@@ -936,7 +1000,11 @@ class CrawlRun:
         if self.spec.frontier_host_cap is not None:
             # the cap's hot-host count subquery and its two broadcast-join
             # branches all scan the merged frontier — cache it so the
-            # merge chain (union + anti-join + groupBy) runs once
+            # merge chain (union + anti-join + groupBy) runs once. A/B'd
+            # round 4: WITHOUT the persist the chain (canonicalize UDF
+            # included) recomputes per consumer — exchange reuse does not
+            # cover the broadcast subquery here — and the round is ~30%
+            # slower at cpus=32 (29-30 s vs 37-49 s on the large web).
             nxt_cache = nxt.persist()
             nxt = self._cap_frontier(nxt_cache, self.spec.frontier_host_cap)
 

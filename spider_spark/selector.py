@@ -140,17 +140,135 @@ def unwrap_redirect_target(url: Column,
                            hosts: tuple[str, ...] = REDIRECT_HOSTS) -> Column:
     """P13: extract the real target from search-engine redirect links
     (…&url=<target>… / …&q=<target>…) on known engine hosts;
-    pass-through otherwise."""
+    pass-through otherwise.
+
+    Fidelity notes vs the reference parsers (ported as table-driven
+    tests, test_selector.py::test_redirect_unwrap_reference_cases):
+
+    - google_target_url.cc matches ANY ``www.google.*`` national TLD
+      (host *contains* "www.google.") — the startswith branch below; its
+      ``sa=U → q`` / ``sa∈{t,X} → url`` dispatch collapses to the
+      url-then-q coalesce here because google never carries both a
+      scheme-ful ``q`` and an ``url`` param with different targets.
+    - baidu_target_url.cc handles ``/link?url=<cipher>`` XOR-encrypted
+      wrappers — NOT a parameter extraction; those pass through here
+      untouched (the generic url= grab would emit cipher garbage) and
+      :func:`parse_baidu_target_url_py` / :func:`parse_baidu_target_urls`
+      implement the real crack.
+    """
     target = F.coalesce(
         F.nullif(F.regexp_extract(url, r"[?&]url=([^&#]+)", 1), F.lit("")),
         F.nullif(F.regexp_extract(url, r"[?&]q=(https?[^&#]+)", 1), F.lit("")),
     )
-    on_engine = F.try_parse_url(url, F.lit("HOST")).isin(list(hosts))
+    host = F.try_parse_url(url, F.lit("HOST"))
+    on_engine = host.isin(list(hosts)) | host.startswith("www.google.")
+    is_baidu_cipher = url.startswith("http://www.baidu.com/link?url=")
     # try_url_decode: one dirty log row with malformed percent-encoding
     # ('?url=a%2') must pass through, not fail the whole job
-    return F.when(
-        on_engine, F.coalesce(F.try_url_decode(target), target, url)
-    ).otherwise(url)
+    return (
+        F.when(is_baidu_cipher, url)
+        .when(on_engine, F.coalesce(F.try_url_decode(target), target, url))
+        .otherwise(url)
+    )
+
+
+def parse_google_target_url(url: Column) -> Column:
+    """P13 faithful ParseGoogleTargetUrl (google_target_url.cc:27-93) as a
+    column expression: NULL = "ret false". Host must contain
+    ``www.google.``, path must be exactly ``/url``, query present; the
+    ``sa`` param dispatches — ``U`` → ``q`` param, ``t``/``X`` → ``url``
+    param; scheme-less targets are url-decoded; undecodable/invalid →
+    NULL."""
+    host = F.try_parse_url(url, F.lit("HOST"))
+    path = F.try_parse_url(url, F.lit("PATH"))
+    query = F.nullif(F.try_parse_url(url, F.lit("QUERY")), F.lit(""))
+    sa = F.regexp_extract(query, r"(?:^|&)sa=([^&]*)", 1)
+    q_p = F.nullif(F.regexp_extract(query, r"(?:^|&)q=([^&]*)", 1),
+                   F.lit(""))
+    url_p = F.nullif(F.regexp_extract(query, r"(?:^|&)url=([^&]*)", 1),
+                     F.lit(""))
+    raw = (
+        F.when(sa == "U", q_p)
+        .when(sa.isin("t", "X"), url_p)
+        .otherwise(F.lit(None).cast("string"))
+    )
+    has_scheme = raw.rlike(r"^[A-Za-z][A-Za-z0-9+.-]*://")
+    decoded = F.when(has_scheme, raw).otherwise(F.try_url_decode(raw))
+    valid = F.try_parse_url(decoded, F.lit("HOST")).isNotNull()
+    gate = host.contains("www.google.") & (path == "/url") \
+        & query.isNotNull()
+    return F.when(gate & valid, decoded)
+
+
+def parse_baidu_target_url_py(url: str) -> str | None:
+    """P13 faithful ParseBaiduTargetUrl (baidu_target_url.cc:118-160):
+    non-``/link?url=`` urls pass through (the reference returns the url
+    itself); cipher links are XOR-decoded against the fixed key schemes
+    (data_baidu_keys), accepted only when the plaintext is an http/ftp
+    url that survives validity + decodability checks. None = ret false."""
+    from urllib.parse import unquote, urlsplit
+
+    from .data_baidu_keys import BAIDU_CRACK_SCHEMES, BAIDU_LINK_PREFIX
+
+    def _valid(u: str) -> bool:
+        try:
+            return bool(urlsplit(u).netloc)
+        except ValueError:
+            return False
+
+    if not _valid(url):
+        return None
+    low = url.lower()
+    if not low.startswith(BAIDU_LINK_PREFIX):
+        return url
+    for magic_off, magic, key_idx, key_len, key in BAIDU_CRACK_SCHEMES:
+        if len(url) <= key_idx or url[magic_off:magic_off + 14] != magic:
+            continue
+        enc = url[key_idx:]
+        if len(enc) > key_len or len(enc) % 2 == 1:
+            continue
+        try:
+            out = []
+            for i in range(0, len(enc), 2):
+                num = (int(enc[i], 16) ^ int(key[i], 16)) << 4 | (
+                    int(enc[i + 1], 16) ^ int(key[i + 1], 16)
+                )
+                if num > 127 or num <= 32:
+                    out.append("%%%02x" % num)
+                else:
+                    out.append(chr(num))
+            cracked = "".join(out)
+        except ValueError:
+            continue
+        if not cracked.lower().startswith(("http", "ftp")):
+            continue
+        if not _valid(cracked):
+            return None
+        if any(c in cracked for c in "\t\r\n"):
+            return None
+        try:
+            unquote(cracked, errors="strict")
+        except Exception:
+            return None
+        return cracked
+    return None
+
+
+def parse_baidu_target_urls(url: Column) -> Column:
+    """Arrow-batched wrapper of :func:`parse_baidu_target_url_py` — gate
+    the input at DataFrame level to baidu ``/link`` rows (the cheap
+    ``unwrap_redirect_target`` handles everything else JVM-side)."""
+    import pandas as pd  # noqa: F401 (type-hint resolution on executors)
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _crack(urls):  # type: (pd.Series) -> pd.Series
+        return urls.map(
+            lambda u: parse_baidu_target_url_py(u) if u is not None
+            else None
+        )
+
+    return _crack(url)
 
 
 # -- site paginator extension point (E4) ------------------------------------
@@ -322,24 +440,37 @@ def proxy_route(urls: DataFrame, ip_col: str = "ip",
                 proxy_domains: list[str] | None = None,
                 domain_col: str = "domain") -> DataFrame:
     """L3 (ip_url_split.cc:64-119): ips carrying ≥ threshold URLs (or
-    whitelisted domains) route via PROXY. Unresolved rows (NULL ip)
-    BYPASS the window — a `when` guard alone would still shuffle them
-    all into the window's single NULL partition (one skewed task) and
-    mass-flag many small distinct hosts as one giant pseudo-ip."""
+    whitelisted domains) route via PROXY.
+
+    Plan shape — no per-ip window: a hot ip (≥ threshold rows) is exactly
+    the row this op exists to find, and ``count().over(partitionBy(ip))``
+    would materialize ALL of a mega-ip's rows in one task (10^8 rows in
+    one partition at 10^10 scale). Instead: partial-agg per-ip counts
+    (output ≤ one row per ip), keep the over-threshold ips — structurally
+    few, < N/threshold of them — BROADCAST that list, and flag via a
+    broadcast left join. NULL-ip rows never enter the count (they are
+    many small distinct hosts, not one giant pseudo-ip)."""
     domain_proxy = (
         F.col(domain_col).isin(proxy_domains) if proxy_domains
         else F.lit(False)
     )
-    nonnull = urls.filter(F.col(ip_col).isNotNull())
-    nulls = urls.filter(F.col(ip_col).isNull()).withColumn(
-        "use_proxy", F.when(domain_proxy, "PROXY").otherwise("DIRECT")
+    hot = (
+        urls.filter(F.col(ip_col).isNotNull())
+        .groupBy(ip_col).count()
+        .filter(F.col("count") >= threshold)
+        .select(ip_col, F.lit(True).alias("_hot"))
     )
-    w = Window.partitionBy(ip_col)
-    is_proxy = (F.count("*").over(w) >= threshold) | domain_proxy
-    routed = nonnull.withColumn(
-        "use_proxy", F.when(is_proxy, "PROXY").otherwise("DIRECT")
+    return (
+        urls.join(F.broadcast(hot), ip_col, "left")
+        .withColumn(
+            "use_proxy",
+            F.when(
+                F.coalesce(F.col("_hot"), F.lit(False)) | domain_proxy,
+                "PROXY",
+            ).otherwise("DIRECT"),
+        )
+        .select(*urls.columns, "use_proxy")  # join reorders; keep contract
     )
-    return routed.unionByName(nulls)
 
 
 def ip_load_estimate(urls: DataFrame, ip_loads: DataFrame | None = None,

@@ -183,6 +183,14 @@ def simulate(
                 continue
             if not rule_filter(c):
                 continue
+            # P7 full rule book (host black/restrict lists + site rules):
+            # the straight-line twin of the engine's rule_book_keep gate
+            # in round._prepare_candidates. Data tables are shared config;
+            # the matching logic is independent.
+            from .rulebook import will_filter_py
+
+            if will_filter_py(c, allow_https=True):
+                continue
             host, path = host_path(c)
             if robots.level(host, path) < spec.policy_level:
                 continue

@@ -210,27 +210,141 @@ def reverse_url(url: Column) -> Column:
     return F.concat(scheme, F.lit("://"), reverse_host(host), rest)
 
 
-_TWO_LEVEL_TLDS = (
-    "com.cn net.cn org.cn gov.cn edu.cn co.uk org.uk ac.uk co.jp or.jp "
-    "com.au net.au com.br com.tw com.hk"
-).split()
+# ParseHost host-shape gate (api/base.cc:166-201): non-empty dotted labels,
+# no leading/trailing/doubled dots (the reference returns false on each)
+_VALID_HOST_RE = r"^[^.\s]+(\.[^.\s]+)*$"
+
+
+def _parse_host_cols(host: Column) -> tuple[Column, Column, Column]:
+    """(tld, domain, subdomain) per ParseHost (api/base.cc:166-201) against
+    the FULL tld.dat table (data_tld.PUBLIC_SUFFIXES, 3,599 entries).
+
+    The reference scans the host's dots left→right and stops at the first
+    dot whose suffix is in the table — i.e. the LONGEST PROPER suffix
+    match (the whole host itself never matches). ``domain`` = one label +
+    matched suffix; ``subdomain`` = the rest (may be ``''``); all three
+    NULL when no suffix matches, the host is blank, or it has
+    leading/trailing/doubled dots — the reference's ``return false``.
+    Faithful to the reference DATA, quirks included: its tld.dat carries
+    ``uk`` and ``sch.uk`` but NOT ``co.uk``, so ``www.shop.co.uk`` parses
+    as domain ``co.uk`` (matching the C++ behavior, not publicsuffix.org).
+
+    Column-expression variant: per depth k the membership probe is an
+    ``array_contains`` over a LITERAL array (one plan literal, linear
+    scan per row — ~3.6k string compares worst-case). Fine up to ~10^8
+    rows; the 10^10-scale path is :func:`attach_registered_domain`,
+    whose per-depth BROADCAST HASH joins probe in O(1)."""
+    from .data_tld import MAX_SUFFIX_LABELS, SUFFIXES_BY_DEPTH
+
+    h = F.lower(F.trim(host))
+    valid = h.rlike(_VALID_HOST_RE)
+    parts = F.split(h, r"\.")
+    n = F.size(parts)
+    tld = F.lit(None).cast("string")
+    for k in range(1, MAX_SUFFIX_LABELS + 1):  # longest match wins: the
+        # later (longer) when-branch is checked FIRST in the fold below
+        cand = F.concat_ws(".", F.slice(parts, n - k + 1, k))
+        hit = (n >= k + 1) & F.array_contains(
+            F.lit(SUFFIXES_BY_DEPTH[k]).cast("array<string>"), cand
+        )
+        tld = F.when(hit, cand).otherwise(tld)
+    k_m = F.size(F.split(tld, r"\."))  # matched suffix label count
+    domain = F.concat_ws(".", F.slice(parts, n - k_m, k_m + 1))
+    subdomain = F.when(
+        n - k_m - 1 <= 0, F.lit("")
+    ).otherwise(F.concat_ws(".", F.slice(parts, 1, n - k_m - 1)))
+    ok = valid & tld.isNotNull()
+    null_s = F.lit(None).cast("string")
+    return (
+        F.when(ok, tld).otherwise(null_s),
+        F.when(ok, domain).otherwise(null_s),
+        F.when(ok, subdomain).otherwise(null_s),
+    )
 
 
 def registered_domain(host: Column) -> Column:
-    """ParseHost's domain extraction (api/base.cc:141-201): the registrable
-    domain = last 2 labels, or last 3 when the 2-label suffix is a known
-    two-level public suffix (tld.dat role; list kept as data)."""
-    parts = F.split(host, r"\.")
+    """ParseHost's domain extraction (api/base.cc:141-201) over the full
+    tld.dat table; NULL when no public suffix matches (ParseHost false).
+    See :func:`_parse_host_cols` for semantics and the scale note."""
+    return _parse_host_cols(host)[1]
+
+
+def parse_host(host: Column) -> Column:
+    """Full ParseHost: struct(tld, domain, subdomain) or all-NULL fields."""
+    tld, domain, sub = _parse_host_cols(host)
+    return F.struct(tld.alias("tld"), domain.alias("domain"),
+                    sub.alias("subdomain"))
+
+
+def attach_registered_domain(df, host_col: str = "host",
+                             out_prefix: str = "") -> "DataFrame":
+    """DataFrame-level ParseHost — the 10^10-row path.
+
+    Same semantics as :func:`parse_host`, but each depth's membership
+    probe is a BROADCAST HASH join against that depth's suffix dim
+    (3,599 entries split 256/3,275/68 across depths 1/2/3): O(1) hash
+    probes per row instead of a literal-array scan, no shuffle of ``df``.
+    Adds ``{out_prefix}tld``, ``{out_prefix}domain``,
+    ``{out_prefix}subdomain`` (NULL on no-match/invalid)."""
+    from .data_tld import MAX_SUFFIX_LABELS, SUFFIXES_BY_DEPTH
+
+    spark = df.sparkSession
+    h = F.lower(F.trim(F.col(host_col)))
+    valid = h.rlike(_VALID_HOST_RE)
+    parts = F.split(h, r"\.")
     n = F.size(parts)
-    last2 = F.concat_ws(".", F.slice(parts, n - 1, 2))
-    last3 = F.concat_ws(".", F.slice(parts, n - 2, 3))
-    is_two_level = last2.isin(_TWO_LEVEL_TLDS)
-    is_ip = host.rlike(r"^\d{1,3}(\.\d{1,3}){3}$")
-    return (
-        F.when(is_ip | (n <= 2), host)
-        .when(is_two_level & (n >= 3), last3)
-        .otherwise(last2)
+    out = df.withColumn("_parts", parts)
+    n = F.size("_parts")
+    for k in range(1, MAX_SUFFIX_LABELS + 1):
+        dim = spark.createDataFrame(
+            [(s,) for s in SUFFIXES_BY_DEPTH[k]], f"_cand{k} string"
+        ).withColumn(f"_hit{k}", F.lit(True))
+        cand = F.when(
+            n >= k + 1, F.concat_ws(".", F.slice("_parts", n - k + 1, k))
+        )
+        out = out.withColumn(f"_cand{k}", cand).join(
+            F.broadcast(dim), f"_cand{k}", "left"
+        )
+    tld = F.coalesce(*[
+        F.when(F.col(f"_hit{k}"), F.col(f"_cand{k}"))
+        for k in range(MAX_SUFFIX_LABELS, 0, -1)  # longest wins
+    ])
+    k_m = F.size(F.split(tld, r"\."))
+    domain = F.concat_ws(".", F.slice("_parts", n - k_m, k_m + 1))
+    subdomain = F.when(
+        n - k_m - 1 <= 0, F.lit("")
+    ).otherwise(F.concat_ws(".", F.slice("_parts", 1, n - k_m - 1)))
+    ok = valid & tld.isNotNull()
+    null_s = F.lit(None).cast("string")
+    out = out.withColumns({
+        f"{out_prefix}tld": F.when(ok, tld).otherwise(null_s),
+        f"{out_prefix}domain": F.when(ok, domain).otherwise(null_s),
+        f"{out_prefix}subdomain": F.when(ok, subdomain).otherwise(null_s),
+    })
+    drop = ["_parts"] + [c for k in range(1, MAX_SUFFIX_LABELS + 1)
+                         for c in (f"_cand{k}", f"_hit{k}")]
+    return out.drop(*drop).select(
+        *df.columns,
+        f"{out_prefix}tld", f"{out_prefix}domain", f"{out_prefix}subdomain",
     )
+
+
+def parse_host_py(host: str) -> tuple[str, str, str] | None:
+    """Pure-Python ParseHost twin (simulator/tests differential oracle).
+    Returns (tld, domain, subdomain) or None — api/base.cc:166-201."""
+    from .data_tld import PUBLIC_SUFFIXES
+
+    h = host.strip().lower()
+    if not h or ".." in h or h.startswith(".") or h.endswith("."):
+        return None
+    labels = h.split(".")
+    for k in range(len(labels) - 1, 0, -1):  # longest PROPER suffix
+        sfx = ".".join(labels[-k:])
+        if sfx in PUBLIC_SUFFIXES:
+            domain = ".".join(labels[-(k + 1):])
+            sub = ".".join(labels[:-(k + 1)])
+            return (sfx, domain, sub)
+    return None
 
 
 # --------------------------------------------------------------------------

@@ -178,3 +178,56 @@ def test_embedding_near_dup_null_and_ragged_vectors(spark):
     nulls = spark.createDataFrame([(0, None), (1, [])],
                                   "vec_id long, embedding array<double>")
     assert dedup.embedding_near_duplicates(nulls).count() == 0
+
+
+def test_resolve_pair_clusters_transitive_chain(spark):
+    """a~b, b~c, c~d (no a~c / a~d / b~d pairs) must collapse to ONE
+    survivor across the chain; disjoint pair (x~y) keeps its own min."""
+    pairs = spark.createDataFrame(
+        [(2, 3), (3, 4), (4, 5), (10, 11)], "a long, b long"
+    )
+    got = {r["id"]: r["keep_id"]
+           for r in dedup.resolve_pair_clusters(pairs).collect()}
+    assert got == {2: 2, 3: 2, 4: 2, 5: 2, 10: 10, 11: 10}
+
+
+def test_resolve_pair_clusters_on_minhash_output(corpus):
+    """Full pipeline: exact+near dup triples (i, 100+i, 200+i) from the
+    corpus fixture each resolve to keep_id = i; the singleton is absent."""
+    pairs = dedup.minhash_near_duplicates(corpus, threshold=0.8)
+    clusters = dedup.resolve_pair_clusters(pairs, "a", "b")
+    got = {r["id"]: r["keep_id"] for r in clusters.collect()}
+    for i in range(4):
+        assert got[i] == i and got[100 + i] == i and got[200 + i] == i
+    assert 999 not in got
+    kept = dedup.dedup_keep_rows(corpus, clusters)
+    ids = {r["doc_id"] for r in kept.collect()}
+    assert ids == {0, 1, 2, 3, 999}
+
+
+def test_resolve_pair_clusters_convergence_guard(spark):
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "a long, b long")
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        dedup.resolve_pair_clusters(pairs, max_iters=0)
+
+
+def test_embedding_dropped_bucket_count_surfaces(spark):
+    """'No silent caps': a degenerate over-cap bucket must emit a warning
+    naming the dropped-bucket count (ADVICE r3)."""
+    import warnings
+
+    import numpy as np
+
+    v = [float(x) for x in np.ones(8)]
+    rows = [(i, v) for i in range(20)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        out = dedup.embedding_near_duplicates(
+            emb, threshold=0.99, max_bucket_size=10)
+        out.count()
+    msgs = [str(x.message) for x in w
+            if "buckets exceed max_bucket_size" in str(x.message)]
+    assert msgs, "expected a dropped-bucket warning"

@@ -232,3 +232,21 @@ def test_interleaved_ranking_calls_stay_exact(spark):
         pr = rank / (n - 1)
         want[u] = 4 if pr <= 0.05 else (3 if pr <= 0.85 else 2)
     assert got1 == want and got3 == want and got2 == 4
+
+
+def test_range_prefixed_reliable_checkpoint(spark, tmp_path):
+    """Cluster escape hatch: with a checkpoint dir set, reliable=True
+    routes through a persistent checkpoint and the banding stays exact."""
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+    df = spark.range(500).select(
+        (F.col("id") % 97).cast("double").alias("uv"),
+        F.concat(F.lit("http://u/"), F.col("id").cast("string")).alias("url"),
+    )
+    out = fr.batch_priority_band(df, "uv", reliable=True)
+    serial = sorted(df.collect(), key=lambda r: (-r["uv"], r["url"]))
+    got = {r["url"]: r["priority"] for r in out.collect()}
+    n = len(serial)
+    for rank, row in enumerate(serial):
+        pr = rank / max(n - 1, 1)
+        exp = 4 if pr <= 0.05 else (3 if pr <= 0.85 else 2)
+        assert got[row["url"]] == exp, (row["url"], rank)

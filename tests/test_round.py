@@ -11,8 +11,17 @@ from pyspark.sql import functions as F
 
 from spider_spark import simulator as sim
 from spider_spark.politeness import PolitenessSpec, synthetic_robots
-from spider_spark.round import CrawlRun, RoundSpec
+from spider_spark.round import CrawlRun
+from spider_spark.round import RoundSpec as _RoundSpec
 from spider_spark.spans import WebSpec, extract_outlinks, generate_documents
+
+
+def RoundSpec(**kw):
+    """Tests opt INTO the driver-side ordering witness (the library
+    default is False — a production round must never collect; these
+    simulator-lockstep tests compare the per-round admitted batches)."""
+    kw.setdefault("collect_ordering", True)
+    return _RoundSpec(**kw)
 
 SPEC = WebSpec(n_hosts=10, pages_per_host=4, skew_hosts=2, skew_pages=16,
                links_per_page=3)
@@ -1166,3 +1175,179 @@ def test_enqueue_crash_recovery(spark, tmp_path_factory):
     assert got == {"http://eq.example.com/bogus"}
     assert not os.path.exists(os.path.join(rdir, "_enqueue_pending.json"))
     assert not os.path.isdir(os.path.join(rdir, "_frontier_trash"))
+
+
+def test_collect_ordering_defaults_off(spark, tmp_path_factory):
+    """VERDICT r3 §1/§5: the LIBRARY default must not collect fetched urls
+    to the driver — admitted_urls stays empty unless a test opts in."""
+    s = "http://dflt.example.com/p/0"
+    docs = _mk_docs(spark, {s: []})
+    robots = _allow_all_robots(spark, ["dflt.example.com"])
+    ck = str(tmp_path_factory.mktemp("ck_dflt"))
+    run = CrawlRun(spark, docs, robots, ck,
+                   _RoundSpec(n_buckets=4, max_rounds=2, politeness=PSPEC))
+    res = run.run(spark.createDataFrame([(s,)], "url string"))
+    assert res[0]["admitted"] == 1
+    assert all(r["admitted_urls"] == [] for r in res)
+
+
+def test_enqueue_preserves_existing_depth(spark, tmp_path_factory):
+    """ADVICE r3: enqueuing a url already pending must NOT reset its depth
+    to the enqueue default — depth orders admission and bounds the
+    max_depth budget of its future outlinks."""
+    s = "http://dq.example.com/p/0"
+    a = "http://dq.example.com/p/1"
+    adj = {s: [a], a: []}
+    docs = _mk_docs(spark, adj)
+    robots = _allow_all_robots(spark, ["dq.example.com"])
+    ck = str(tmp_path_factory.mktemp("ck_dq"))
+    rspec = RoundSpec(n_buckets=4, max_depth=3, max_rounds=10,
+                      politeness=PolitenessSpec(qps=1.0, round_seconds=1.0))
+    run = CrawlRun(spark, docs, robots, ck, rspec)
+    run.bootstrap(spark.createDataFrame([(s,)], "url string"))
+    run.run_round(0)  # admits s; frontier 1 holds a at depth 1
+    before = {r["url"]: r["depth"]
+              for r in run._read(1, "frontier").collect()}
+    assert before[a] == 1
+    run.enqueue(spark.createDataFrame([(a,)], "url string"),
+                from_code="M", depth=0)
+    after = {r["url"]: (r["depth"], r["vip"])
+             for r in run._read(1, "frontier").collect()}
+    assert after[a][0] == 1          # existing depth kept, NOT reset to 0
+    assert after[a][1] is True       # 'M' still grants the seen-bypass
+    # a genuinely NEW url takes the enqueued depth
+    b = "http://dq.example.com/p/9"
+    run.enqueue(spark.createDataFrame([(b,)], "url string"),
+                from_code="M", depth=2)
+    got = {r["url"]: r["depth"] for r in run._read(1, "frontier").collect()}
+    assert got[b] == 2
+
+
+def test_budget_window_validation_raises(spark, tmp_path_factory):
+    """ADVICE r3: a midnight-wrapping or NULL-bounded window CHECK-fails
+    at load time (load_controller.cc SetIpLoadRecords role) instead of
+    silently never matching."""
+    from spider_spark import politeness as pol
+
+    bad = spark.createDataFrame(
+        [("h.example.com", 1380, 120, 5)],   # 23:00-02:00 wraps midnight
+        "host string, begin_min int, end_min int, budget int",
+    )
+    with pytest.raises(ValueError, match="invalid budget windows"):
+        pol.validate_budget_windows(bad)
+    docs = _mk_docs(spark, {"http://h.example.com/p/0": []})
+    robots = _allow_all_robots(spark, ["h.example.com"])
+    with pytest.raises(ValueError, match="invalid budget windows"):
+        CrawlRun(spark, docs, robots,
+                 str(tmp_path_factory.mktemp("ck_bw")),
+                 _RoundSpec(n_buckets=4), budgets=bad)
+    nullb = spark.createDataFrame(
+        [("h.example.com", None, 120, 5)],
+        "host string, begin_min int, end_min int, budget int",
+    )
+    with pytest.raises(ValueError, match="invalid budget windows"):
+        pol.validate_budget_windows(nullb)
+    ok = spark.createDataFrame(
+        [("h.example.com", 120, 1380, 5)],
+        "host string, begin_min int, end_min int, budget int",
+    )
+    pol.validate_budget_windows(ok)  # no raise
+
+
+def test_hub_candidates_differential(spark, tmp_path_factory):
+    """A8 over the round's OWN crawl output: hub set == python count of
+    distinct outlinks over the crawled subset of the adjacency."""
+    h = "http://hub.example.com"
+    adj = {
+        f"{h}/index": [f"{h}/p/1", f"{h}/p/2", f"{h}/p/3"],
+        f"{h}/p/1": [f"{h}/p/2", f"{h}/p/2"],   # 1 distinct (dupes)
+        f"{h}/p/2": [],
+        f"{h}/p/3": [f"{h}/p/1", f"{h}/p/2", f"{h}/p/3", f"{h}/p/4"],
+        f"{h}/p/4": [],
+    }
+    docs = _mk_docs(spark, adj)
+    robots = _allow_all_robots(spark, ["hub.example.com"])
+    ck = str(tmp_path_factory.mktemp("ck_hub"))
+    rspec = RoundSpec(n_buckets=4, max_depth=3, max_rounds=10,
+                      politeness=PolitenessSpec(qps=2.0, round_seconds=5.0))
+    run = CrawlRun(spark, docs, robots, ck, rspec)
+    run.run(spark.createDataFrame([(f"{h}/index",)], "url string"))
+    crawled = set(run.seen_urls())
+    exp = {
+        u: len(set(links)) for u, links in adj.items()
+        if u in crawled and len(set(links)) >= 3
+    }
+    got = {r["url"]: r["n_outlinks"]
+           for r in run.hub_candidates(min_outlinks=3).collect()}
+    assert got == exp == {f"{h}/index": 3, f"{h}/p/3": 4}
+    assert run.hub_candidates(min_outlinks=5).count() == 0
+
+
+def test_hub_dig_feeds_frontier_and_readmits_after_ttl(spark,
+                                                       tmp_path_factory):
+    """VERDICT r3 §6 E2E: hubs (from='N', non-VIP) re-enter the frontier
+    via enqueue and re-admit once their recrawl TTL expires — the §3.1
+    step-11 hub-dig loop closure."""
+    h = "http://hubt.example.com"
+    hub = f"{h}/index"          # NOT a homepage: 'N' must stay non-VIP
+    adj = {hub: [f"{h}/p/1", f"{h}/p/2", f"{h}/p/3"],
+           f"{h}/p/1": [], f"{h}/p/2": [], f"{h}/p/3": []}
+    docs = _mk_docs(spark, adj)
+    robots = _allow_all_robots(spark, ["hubt.example.com"])
+    ck = str(tmp_path_factory.mktemp("ck_hubt"))
+    rspec = RoundSpec(n_buckets=4, max_depth=3, max_rounds=3,
+                      politeness=PolitenessSpec(qps=2.0, round_seconds=5.0),
+                      recrawl_ttl_rounds=3)
+    run = CrawlRun(spark, docs, robots, ck, rspec)
+    seeds = spark.createDataFrame([(hub,)], "url string")
+    res1 = run.run(seeds)
+    assert res1[0]["admitted_urls"] == [hub]
+    last = run.last_committed_round()
+    hubs = run.hub_candidates(min_outlinks=3)
+    assert [r["url"] for r in hubs.collect()] == [hub]
+    n = run.enqueue(hubs.select("url"), from_code="N")
+    assert n >= 1
+    fr = {r["url"]: r["vip"]
+          for r in run._read(last, "frontier").collect()}
+    assert fr[hub] is False     # 'N' rides the frontier without VIP bypass
+    # resume: the hub's seen-sign (crawled round 0) has TTL-expired by the
+    # resumed round, so it re-admits — hub dig closes the loop
+    run2 = CrawlRun(spark, docs, robots, ck, _RoundSpec(
+        n_buckets=4, max_depth=3, max_rounds=last + 2,
+        politeness=PolitenessSpec(qps=2.0, round_seconds=5.0),
+        recrawl_ttl_rounds=3, collect_ordering=True))
+    res2 = run2.run(seeds, resume=True)
+    assert res2[0]["admitted_urls"] == [hub]
+
+
+def test_fused_bucket_group_bound_under_skew(spark, tmp_path_factory):
+    """RoundSpec.n_buckets contract: with the per-host cap, a bucket's
+    fused Arrow group holds at most Σ_host∈bucket min(host_rows, cap)
+    rows — a mega-host cannot push a group past hosts_in_bucket × cap."""
+    from spider_spark import urlkit
+
+    cap = 20
+    mega = [(f"http://mega.example.com/p/{i}",) for i in range(300)]
+    small = [(f"http://s{j}.example.com/p/{i}",)
+             for j in range(5) for i in range(3)]
+    docs = _mk_docs(spark, {u: [] for (u,) in mega + small})
+    robots = _allow_all_robots(
+        spark, ["mega.example.com"] + [f"s{j}.example.com"
+                                       for j in range(5)])
+    rspec = RoundSpec(n_buckets=4, max_rounds=2, frontier_host_cap=cap,
+                      politeness=PSPEC)
+    ck = str(tmp_path_factory.mktemp("ck_skew"))
+    run = CrawlRun(spark, docs, robots, ck, rspec)
+    run.bootstrap(spark.createDataFrame(mega + small, "url string"))
+    fr = run._read(0, "frontier")
+    per_host = {r["host"]: r["count"]
+                for r in fr.groupBy("host").count().collect()}
+    assert all(c <= cap for c in per_host.values()), per_host
+    bucketed = fr.withColumn(
+        "bucket", urlkit.host_bucket(F.col("host"), rspec.n_buckets)
+    )
+    rows = bucketed.groupBy("bucket").agg(
+        F.count("*").alias("n"),
+        F.countDistinct("host").alias("hosts"),
+    ).collect()
+    assert all(r["n"] <= r["hosts"] * cap for r in rows), rows

@@ -76,7 +76,11 @@ def test_url_transforms(spark):
     ).collect()
     assert out[0]["t1"] == "http://x.com/a "
     assert out[1]["t2"] == "http://x.com/page?_escaped_fragment_=/sec/1"
-    assert out[2]["t3"] == "http://target.com/p"
+    # baidu /link?url= is an XOR-CIPHER wrapper (baidu_target_url.cc), not
+    # a parameter redirect: the generic unwrap passes it through untouched
+    # (r3 decoded the param here — unfaithful; the real crack lives in
+    # parse_baidu_target_urls and rejects non-cipher payloads)
+    assert out[2]["t3"] == "http://www.baidu.com/link?url=http%3A%2F%2Ftarget.com%2Fp"
     assert out[3]["t3"] == "http://plain.com/x"
     assert out[4]["t3"] == "http://shop.com/item?url=42"
     assert out[5]["t1"] == "http://en.example.org/wiki/Tel:_A_Novel"
@@ -176,8 +180,7 @@ def test_search_page_null_query_is_page_one(spark):
 
 def test_proxy_route_null_ips_bypass_window(spark):
     """Unresolved (NULL ip) rows must not pool into one pseudo-ip group:
-    they bypass the window (DIRECT unless domain-whitelisted) and the
-    window's input subtree filters to non-null ips."""
+    they never enter the hot-ip count (DIRECT unless domain-whitelisted)."""
     rows = [(f"u{i}", None if i < 6 else "9.9.9.9", "x.com")
             for i in range(10)]
     urls = spark.createDataFrame(
@@ -188,6 +191,142 @@ def test_proxy_route_null_ips_bypass_window(spark):
     assert all(got[f"u{i}"] == "PROXY" for i in range(6, 10))  # 4 >= 3
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "isnotnull(ip" in plan, plan
+
+
+def test_proxy_route_plan_has_no_window(spark):
+    """L3 at the 100×-scale bar: a hot ip (≥ threshold rows) is exactly
+    what the op finds, so a per-ip window would put a mega-ip's rows in
+    ONE task. The plan must be partial-agg counts + a BROADCAST join of
+    the (structurally few) hot ips — no Window over the url set."""
+    rows = [(f"u{i}", f"ip{i % 4}", "x.com") for i in range(40)]
+    urls = spark.createDataFrame(rows, "o string, ip string, domain string")
+    out = sel.proxy_route(urls, threshold=5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert all(r["use_proxy"] == "PROXY" for r in out.collect())
+
+
+# -- P13 fidelity: reference parser cases -------------------------------------
+
+# ported from log_analysis/common/google_target_url_test.cc:20-31
+GOOGLE_CASES = [
+    ("http://www.google.com.hk/url?sa=t&rct=j&q=%E9%B2%9C%E8%8A%B1"
+     "&source=web&cd=1&ved=0CGUQFjAA&url=http%3A%2F%2Fwww.malatown.com.cn"
+     "%2F&ei=XE19T4KuEOayiQfbiJGfCQ&usg=AFQjCNHKOvUFnBDlhxrXmClax278cQ5f7w"
+     "&cad=rja", "http://www.malatown.com.cn/"),
+    ("http://www.google.com.hk/url?sa=t&rct=j&q=%E4%BA%AC%E4%B8%9C"
+     "&source=web&cd=1&ved=0CCgQFjAA&url=http%3A%2F%2Fwww.360buy.com%2F"
+     "&ei=Al59T5e0CYa0iQf5nPjACQ&usg=AFQjCNGWezPzLUJN0DTo3PlVWXHMn2ZdDQ"
+     "&cad=rja", "http://www.360buy.com/"),
+    ("http://www.google.com/", None),
+    ("http://www.google.com.hk/url?sa=t&rct=j&q=x&source=web&cd=2"
+     "&ved=0CEIQFjAB&url=http%3A%2F%2Fcd.58.com%2Fshilingzhen%2Fzufang%2F"
+     "&ei=rbsrT8aiJvGZiQfl4tG-Dg", "http://cd.58.com/shilingzhen/zufang/"),
+    ("http://www.google.co.jp/url?sa=t&rct=j&q=ycbook&source=web&cd=1"
+     "&ved=0CCgQFjAA&url=http%3A%2F%2Fwww.ycbook.com.cn%2F",
+     "http://www.ycbook.com.cn/"),
+    ("http://www.google.com.hk/url?q=http://www.bjgcsoft.com/&sa=U"
+     "&ei=ScpFT-PKAeKSiAfG5ICZAw&ved=0CC4QFjAG", "http://www.bjgcsoft.com/"),
+    ("http://www.google.com.hk/url?url=http://www.aipai.com/c5/"
+     "Pzk2JScnImgnaiQg.html&rct=j&sa=X&ei=Z69PT-SBD_GciAfo4q3YCw"
+     "&ved=0CDMQuAIwAA&q=%E7%A9%BF%E8%B6%8A",
+     "http://www.aipai.com/c5/Pzk2JScnImgnaiQg.html"),
+    ("http://www.google.com.hk/url?q=http://www.7k7k.com/&sa=U"
+     "&ei=-9P6T5W5K6m5iAeJpLDVBg&ved=0CBQQFjAA", "http://www.7k7k.com/"),
+]
+
+
+def test_parse_google_target_url_reference_cases(spark):
+    df = spark.createDataFrame([(u,) for u, _ in GOOGLE_CASES],
+                               "url string")
+    got = {
+        r["url"]: r["t"]
+        for r in df.select(
+            "url", sel.parse_google_target_url(F.col("url")).alias("t")
+        ).collect()
+    }
+    for u, exp in GOOGLE_CASES:
+        assert got[u] == exp, u
+
+
+def test_unwrap_redirect_covers_google_shapes(spark):
+    """unwrap_redirect_target (the generic JVM fast path) agrees with the
+    faithful parser on every successful google case — including national
+    TLDs like google.co.jp (host contains 'www.google.'), sa=U→q and
+    sa=t/X→url dispatch — and passes failures through unchanged."""
+    df = spark.createDataFrame([(u,) for u, _ in GOOGLE_CASES],
+                               "url string")
+    got = {
+        r["url"]: r["t"]
+        for r in df.select(
+            "url", sel.unwrap_redirect_target(F.col("url")).alias("t")
+        ).collect()
+    }
+    for u, exp in GOOGLE_CASES:
+        assert got[u] == (exp if exp is not None else u), u
+    # the /aclk ad-click shape must NOT unwrap (path != /url; its adurl=
+    # param is not a [?&]url= match) — reference case 3
+    aclk = ("http://www.google.com.hk/aclk?sa=l&ai=C704h"
+            "&adurl=http://www.flowercn.com/%3Fsid%3Dggxh1&rct=j&q=x&c")
+    out = spark.createDataFrame([(aclk,)], "url string").select(
+        sel.unwrap_redirect_target(F.col("url")).alias("t")
+    ).collect()[0]["t"]
+    assert out == aclk
+
+
+def test_parse_baidu_target_url_udf(spark):
+    """The XOR-crack path end-to-end through the pandas UDF (full vectors
+    live in the pure-python test below; here one per scheme + the
+    pass-through and reject paths)."""
+    ok1 = ("http://www.baidu.com/link?url=a184964ce362254b5c2fe32abe94a884"
+           "a6e8c0962218c9e338d199d3aad45625220ea4ed60ccaa9c29a958cf7ce5c148"
+           "4cbb5b41ea7385f7b75feace0a1b506ac0615a959eaef6d0a5697cecdd")
+    passthrough = "http://www.hao123.com"
+    bad = "http://www.baidu.com/link?url=deadbeef"
+    df = spark.createDataFrame(
+        [(ok1,), (passthrough,), (bad,)], "url string")
+    got = {
+        r["url"]: r["t"]
+        for r in df.select(
+            "url", sel.parse_baidu_target_urls(F.col("url")).alias("t")
+        ).collect()
+    }
+    assert got[ok1] == "http://www.kuaidi100.com/network/netList_10_210500.htm"
+    assert got[passthrough] == passthrough
+    assert got[bad] is None
+
+
+def test_parse_baidu_target_url_py_reference_cases():
+    """Both XOR schemes against the reference's own vectors
+    (baidu_target_url_test.cc:19-36; blobs verbatim)."""
+    m2 = ("http://www.baidu.com/link?url=fbce9f46ec20241b726bf517f181a794"
+          "95e3c292650eaeee65c99e84fca54c7c3d08b4bb69c1a2887efa4b8d35a4da4f"
+          "03af035cf67889a3a450fdf80e495e5c9d727ecec7f7bb87ec3071b4d9a8f302"
+          "775902476983ac7bae675a45a1bac57cdd5e5e22071cd29fe815deefdb4740c6"
+          "2eb424a888e09b285e1b4ece45a651aefb57e01d2bc95e71af06a0a63596d8b4"
+          "ad8bad40a60132a5e3615a4c7a3db72bc801d02e83e71e2414d30bfec6fea7c5"
+          "2bb6034ccec63a5380e36bf31df97fb5b89b2c100cdc4af80de58a0d529f707d"
+          "684e03bdfaf9b7b98148c47a7977dda9f7ca7dea7688cd1c2b508ff851ec21db"
+          "1d8693c93b39e7932b64039bc513b89384714abd849dc6dbbb21870bbe339e6b"
+          "68c39b12f7e7ebb703c47ae13650422ca9b539838e51de97825140d1a9ef170b"
+          "982e9efefab4a1bf900e90e401f53f642171600a4160744df92a46254478079"
+          "6430c891a71e7df87e3379525936aebac5573358cc3c0659257bfcf546427d38"
+          "5fdf16629bd5e0d6a41d227")
+    assert sel.parse_baidu_target_url_py(m2) == "http://www.sosuo.name/"
+    m1 = ("http://www.baidu.com/link?url=92cf9b04fd247c4e5220be23bd99b794"
+          "a6e8c0962218c9e338d199d3aad45625220eadf17bd1ab9974fc1acf7ce48313"
+          "50bf4b53aa6281aaa968fbf20c1a501a923e77d7e6f0a58fba0151adf2bb854c"
+          "547a54687092af6bea24086e85f0e25a9618753c430c9df1bf598da09c632f94"
+          "19e4069accb1be12444211f55ebe77c3b826857514850461f74bffe214ddc8ad"
+          "87e2f5168a19228ac83d5f012821d76ea115bc6ccfab587c51994a9e84a993ed"
+          "6bfc6909d5b67a7ccf8037962bd046d9c9f26d510f8869d351a1e64c06af6b60"
+          "2f0922f1b1e0efcfc36de7162a07baccddd423a84bdeea2342158fe45ff3")
+    exp = ("http://www.bizteller.cn/trade/corpReport/corpInfo/"
+           "FE5B769ED0D05C9584AA2CF35D0537D71573A17E6AE52EC966A74AA91FDF1396"
+           "791B311AA82F41BD2E918A775E78501719D48CA91D0107D5B7FCDCE1E04C8FF2"
+           "2E24E7745A585361CEB60CFE726E2BEC.html")
+    assert sel.parse_baidu_target_url_py(m1) == exp
 
 
 def test_extract_rule_whitelist(spark):

@@ -103,22 +103,67 @@ def test_reverse_host(spark):
     assert got == ["cn.com.sina.news", "10.1.2.3"]  # api/base.cc:93-139
 
 
-def test_registered_domain(spark):
-    cases = [
-        ("news.sina.com.cn", "sina.com.cn"),
-        ("www.example.co.uk", "example.co.uk"),
-        ("a.b.example.com", "example.com"),
-        ("example.com", "example.com"),
-        ("10.1.2.3", "10.1.2.3"),
-    ]
-    df = spark.createDataFrame([(c[0],) for c in cases], "host string")
-    got = [
-        r["d"]
+# ParseHost cases ported from the reference's api/base_test.cc:194-263,
+# plus full-table cases (the data quirks are the reference's own: tld.dat
+# carries 'uk'/'sch.uk' but not 'co.uk')
+PARSE_HOST_CASES = [
+    ("     ", None),
+    ("newS.sIna.com.cN", ("com.cn", "sina.com.cn", "news")),
+    ("sina.com.cn", ("com.cn", "sina.com.cn", "")),
+    ("www.sina.com.cn", ("com.cn", "sina.com.cn", "www")),
+    ("www.sina.com", ("com", "sina.com", "www")),
+    ("192.168.11.55", None),
+    ("dict.cn..cn.com.cn", None),
+    (".dict.cn", None),
+    ("dict.cn.", None),
+    ("www.sohu.comm", None),
+    ("www.shop1.co.uk", ("uk", "co.uk", "www.shop1")),
+    ("x.school2.act.edu.au", ("act.edu.au", "school2.act.edu.au", "x")),
+    ("lab.u9.ac.jp", ("ac.jp", "u9.ac.jp", "lab")),
+    ("nomatch.localdomain", None),
+]
+
+
+def test_parse_host_reference_cases(spark):
+    df = spark.createDataFrame(
+        [(h,) for h, _ in PARSE_HOST_CASES], "host string"
+    )
+    got = {
+        r["host"]: (r["p"]["tld"], r["p"]["domain"], r["p"]["subdomain"])
         for r in df.select(
-            urlkit.registered_domain(F.col("host")).alias("d")
+            "host", urlkit.parse_host(F.col("host")).alias("p")
         ).collect()
+    }
+    for h, exp in PARSE_HOST_CASES:
+        assert got[h] == (exp or (None, None, None)), h
+        assert urlkit.parse_host_py(h) == exp, h
+
+
+def test_attach_registered_domain_matches_column_variant(spark):
+    """The broadcast-join scale path and the literal-array column variant
+    agree with the pure-python twin on a mixed host corpus."""
+    hosts = [h for h, _ in PARSE_HOST_CASES if h.strip()] + [
+        f"sub{i}.site{i}.{sfx}"
+        for i, sfx in enumerate(
+            ["com", "com.cn", "ac.jp", "co.kr", "net", "org", "gs.aa.no",
+             "example.zz"] * 3
+        )
     ]
-    assert got == [c[1] for c in cases]
+    df = spark.createDataFrame([(h,) for h in hosts], "host string")
+    attached = {
+        r["host"]: (r["tld"], r["domain"], r["subdomain"])
+        for r in urlkit.attach_registered_domain(df).collect()
+    }
+    col_variant = {
+        r["host"]: r["d"]
+        for r in df.select(
+            "host", urlkit.registered_domain(F.col("host")).alias("d")
+        ).collect()
+    }
+    for h in hosts:
+        exp = urlkit.parse_host_py(h)
+        assert attached[h] == (exp or (None, None, None)), h
+        assert col_variant[h] == (exp[1] if exp else None), h
 
 
 def test_url_rule_filter(spark):
