@@ -490,6 +490,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         )
 
+    def dedup_clusters_star(spark, sf):
+        """Same cluster resolution through the large-star/small-star
+        connected-components variant (Kiveris et al. — O(log n) rounds
+        regardless of component diameter; the 10^10-edge scale path).
+        Shares dedup_clusters' recursive-CTE oracle: both algorithms must
+        produce the identical (doc_id, keep_id) table."""
+        _ensure_shipped(spark)
+        d = _t(spark, sf, "documents")
+        pairs = dedup.minhash_near_duplicates(
+            d, "doc_id", "text", k=128, bands=32, shingle=3, threshold=0.8
+        )
+        clusters = dedup.resolve_pair_clusters(
+            pairs, "a", "b", algorithm="star")
+        return (
+            d.select(F.col("doc_id").alias("id"))
+            .join(clusters, "id", "left")
+            .select(
+                F.col("id").alias("doc_id"),
+                F.coalesce("keep_id", "id").alias("keep_id"),
+            )
+        )
+
     def token_stats(spark, sf):
         """Token counting + quality rollup per language."""
         d = _t(spark, sf, "documents")
@@ -999,6 +1021,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_stats": dedup_stats,
         "minhash_near_dups": minhash_near_dups,
         "dedup_clusters": dedup_clusters,
+        "dedup_clusters_star": dedup_clusters_star,
         "hub_dig": hub_dig,
         "token_stats": token_stats,
         "lang_detect": lang_detect,
@@ -1075,7 +1098,7 @@ def oracle_sql() -> dict[str, str]:
     )
     n_tok = (f"(CASE WHEN len(trim(coalesce(text, ''))) = 0 THEN 0 "
              f"ELSE len({_TOKENS}) END)")
-    return {
+    sql = {
         "uv_scores": """
             SELECT event_type, ROUND(SUM(mx), 4) AS uv, COUNT(*) AS n_users
             FROM (SELECT user_id, event_type, MAX(value) AS mx
@@ -1687,3 +1710,7 @@ def oracle_sql() -> dict[str, str]:
         # check + pytest differentials (tests/test_simhash.py,
         # test_similarity.py, test_selector.py).
     }
+    # the star-CC variant must produce the identical cluster table — the
+    # two Spark algorithms share one DuckDB oracle
+    sql["dedup_clusters_star"] = sql["dedup_clusters"]
+    return sql

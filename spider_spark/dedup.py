@@ -265,28 +265,44 @@ def minhash_near_duplicates(docs: DataFrame, id_col: str = "doc_id",
 
 def resolve_pair_clusters(pairs: DataFrame, a_col: str = "a",
                           b_col: str = "b",
-                          max_iters: int = 50) -> DataFrame:
+                          max_iters: int = 50,
+                          algorithm: str = "label") -> DataFrame:
     """Resolve near-dup PAIRS into keep/drop clusters: connected
-    components by iterative min-label propagation, no graph library.
-    Returns (id, keep_id) for every id appearing in a pair — ``keep_id``
-    is the component's minimum id, the same deterministic canonical-
-    survivor rule exact_duplicates uses. A dedup job keeps rows where
-    ``id == keep_id`` (or ids absent from the output: singletons).
+    components, no graph library. Returns (id, keep_id) for every id
+    appearing in a pair — ``keep_id`` is the component's minimum id, the
+    same deterministic canonical-survivor rule exact_duplicates uses. A
+    dedup job keeps rows where ``id == keep_id`` (or ids absent from the
+    output: singletons).
 
     Pairs alone don't dedup a corpus — a~b and b~c must collapse to ONE
     survivor across {a,b,c} even though (a,c) may never have been
-    emitted. Label propagation floods the component minimum along edges;
-    it converges in ≤ diameter(component) rounds, and near-dup clusters
-    are shallow (dup chains, not long paths), so the loop exits early on
-    a converged count. Each iteration is one join + one groupBy over the
-    edge list — both shuffles keyed by id, sub-quadratic, skew-bounded by
-    the max component's edge count. Per-iteration eager localCheckpoint
-    keeps the plan flat (iterative lineage would otherwise double per
-    round) and lets the previous iteration's blocks free. At 10^10-edge
-    scale swap the loop body for the large-star/small-star variant
-    (Kiveris et al., "Connected Components in MapReduce"), which bounds
-    iterations by log(n); the per-iteration plumbing here is unchanged.
+    emitted.
+
+    ``algorithm="label"`` (default): min-label propagation — floods the
+    component minimum along edges; converges in ≤ diameter(component)
+    rounds. Near-dup clusters are shallow (dup chains, not long paths),
+    so this is the cheap path for the common corpus: each iteration is
+    one join + one groupBy over the edge list, both shuffles keyed by
+    id, skew-bounded by the max component's edge count.
+
+    ``algorithm="star"``: alternating large-star / small-star rounds
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14) — iteration count bounded by O(log n) REGARDLESS of
+    component diameter, so a pathological long chain (or an adversarial
+    corpus) cannot blow the round count. Each round is two
+    groupBy-min + join passes over the (shrinking) edge set. Use this at
+    10^10-edge scale or whenever diameter is unknown.
+
+    Both variants eager-localCheckpoint per iteration: keeps the plan
+    flat (iterative lineage would otherwise double per round) and lets
+    the previous iteration's blocks free. Differential-tested equal to
+    each other and to a union-find on planted + random graphs.
     """
+    if algorithm == "star":
+        return _resolve_pairs_star(pairs, a_col, b_col, max_iters)
+    if algorithm != "label":
+        raise ValueError(f"unknown algorithm {algorithm!r} "
+                         "(expected 'label' or 'star')")
     spark = pairs.sparkSession
     e = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
     edges = (
@@ -325,6 +341,82 @@ def resolve_pair_clusters(pairs: DataFrame, a_col: str = "a",
         )
     edges.unpersist()
     return labels
+
+
+def _resolve_pairs_star(pairs: DataFrame, a_col: str, b_col: str,
+                        max_iters: int) -> DataFrame:
+    """Large-star/small-star connected components (Kiveris et al.).
+
+    Edge set is kept canonically oriented (hi, lo) with hi > lo,
+    distinct, no self-loops. One iteration:
+
+    - large-star: for every node u over its SYMMETRIC neighborhood,
+      m = min(N(u) ∪ {u}); emit (v, m) for each neighbor v > u. Hooks
+      every larger neighbor onto the local minimum — halves the height
+      of tall structures each pass.
+    - small-star: for every node u over its SMALLER neighbors,
+      m = min(N⁻(u)); emit (v, m) for v ∈ N⁻(u) \\ {m} plus (u, m).
+      Flattens partial stars so the next large-star sees them.
+
+    Both emissions preserve hi > lo by construction (v > u ≥ m resp.
+    v > m), so no re-orientation pass is needed. Converged when a full
+    large+small pass leaves the canonical edge set unchanged — the set
+    is then a forest of stars rooted at each component's minimum, read
+    out directly as (id, keep_id). Proven O(log n) rounds; every pass is
+    two groupBy-min + join shuffles keyed by node id."""
+    e = pairs.select(F.col(a_col).alias("x"), F.col(b_col).alias("y"))
+    edges = (
+        e.filter(F.col("x") != F.col("y"))
+        .select(F.greatest("x", "y").alias("hi"),
+                F.least("x", "y").alias("lo"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iters):
+        # large-star over the symmetric view
+        sym = edges.unionByName(
+            edges.select(F.col("lo").alias("hi"), F.col("hi").alias("lo"))
+        ).select(F.col("hi").alias("u"), F.col("lo").alias("v"))
+        mins = sym.groupBy("u").agg(F.min("v").alias("mn"))
+        large = (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("hi"),
+                    F.least("u", "mn").alias("lo"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        # small-star over the (hi → smaller neighbors) orientation
+        mins2 = large.groupBy("hi").agg(F.min("lo").alias("mn"))
+        new_edges = (
+            large.join(mins2, "hi")
+            .select(F.col("lo").alias("hi"), F.col("mn").alias("lo"))
+            .filter(F.col("hi") != F.col("lo"))
+            .unionByName(mins2.select("hi", F.col("mn").alias("lo")))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        unchanged = (
+            new_edges.count() == edges.count()
+            and new_edges.exceptAll(edges).count() == 0
+        )
+        edges = new_edges
+        if unchanged:
+            break
+    else:
+        raise RuntimeError(
+            f"star connected-components did not converge in {max_iters} "
+            "iterations — O(log n) bound exceeded; the input is far "
+            "larger than max_iters allows, raise it"
+        )
+    # converged: stars rooted at component minima
+    return (
+        edges.select(F.col("hi").alias("id"), F.col("lo").alias("keep_id"))
+        .unionByName(
+            edges.select(F.col("lo").alias("id"),
+                         F.col("lo").alias("keep_id")).distinct()
+        )
+    )
 
 
 def dedup_keep_rows(docs: DataFrame, clusters: DataFrame,

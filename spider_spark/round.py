@@ -104,6 +104,12 @@ class RoundSpec:
     compact_every: int | None = None  # fold committed linkbase deltas
     # (latest-round-wins, compact_linkbase) every N committed rounds —
     # bounds the delta-partition count a long crawl accumulates
+    rule_book_strict: bool = False  # swap in the selector's STRICT rule
+    # tables (kPathPostfixBlackList2 / kFilterQueryArray2 / the widened
+    # rule book — crawler_selector_util.cc:42-51,147-237): additionally
+    # drops search-result pages (q=/wd=/keyword= queries, search.* paths)
+    # and ad-click endpoints. The reference flips this per-deployment
+    # (FLAGS-driven); default mirrors the normal selector.
     frontier_host_cap: int | None = 100_000  # per-host frontier depth cap
     # applied at the carry ∪ new merge (reducer_compress_control.cc:128-169
     # — the dispatcher sorts each host's pending URLs and drops overflow
@@ -256,10 +262,17 @@ class CrawlRun:
         # gate, scheme check relaxed to admit https. Runs on the
         # post-dedup candidate set; And/Or short-circuiting keeps the
         # common row at two set probes + two alternation regexes.
+        # Measured cost at bench scale (cpus=32, alternating A/B, best
+        # pairs): ~1 s/round — mostly per-round planning/codegen of the
+        # wide expression, not row eval (0.3 s per 2M rows measured warm;
+        # the built Column is memoized in rulebook to kill the py4j
+        # construction cost). The reference selector applies this gate to
+        # every candidate, so the round does too.
         from .rulebook import rule_book_keep
 
         c = c.filter(rule_book_keep(
-            F.col("url"), F.col("host"), F.col("path"), F.col("query")
+            F.col("url"), F.col("host"), F.col("path"), F.col("query"),
+            strict=self.spec.rule_book_strict,
         ))
         c = pol.robots_level(c, self.robots)
         c = pol.robots_gate(c, self.spec.politeness.robots_policy_level)

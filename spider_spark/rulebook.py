@@ -297,6 +297,15 @@ def _restricted_host(host: Column) -> Column:
     return out
 
 
+# memo for the crawl hot path: building the ~150-predicate expression
+# costs 400+ py4j gateway round-trips (one per F.when/rlike/lit), which
+# measured ~2 s/round at cpus=32 when rebuilt inside every
+# _prepare_candidates call. Column expressions are immutable and resolve
+# by NAME at analysis, so one instance serves every round/query in the
+# process (keyed by the named columns it binds).
+_KEEP_CACHE: dict = {}
+
+
 def rule_book_keep(url: Column, host: Column, path: Column, query: Column,
                    strict: bool = False) -> Column:
     """Keep-predicate for the crawl candidate pipeline: the reference gate
@@ -308,7 +317,12 @@ def rule_book_keep(url: Column, host: Column, path: Column, query: Column,
     early; a KEPT row pays the two alternation regexes plus ~70
     startswith/endswith host probes whose path/query regexes only run on
     a host hit (And short-circuits). Runs on the post-dedup candidate
-    set, never the raw explode."""
+    set, never the raw explode. The built expression is memoized — see
+    ``_KEEP_CACHE``."""
+    key = (str(url), str(host), str(path), str(query), strict)
+    cached = _KEEP_CACHE.get(key)
+    if cached is not None:
+        return cached
     suffixes = (PATH_SUFFIX_BLACKLIST_STRICT if strict
                 else PATH_SUFFIX_BLACKLIST)
     tokens = (QUERY_TOKEN_BLACKLIST_STRICT if strict
@@ -326,7 +340,8 @@ def rule_book_keep(url: Column, host: Column, path: Column, query: Column,
         | query.rlike(_token_regex(tokens))
         | search_engine_of(host, path, query, strict).isNotNull()
     )
-    return ~filtered
+    _KEEP_CACHE[key] = ~filtered
+    return _KEEP_CACHE[key]
 
 
 # -- pure-Python twin (simulator / differential tests) -----------------------

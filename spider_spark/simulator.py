@@ -127,6 +127,8 @@ class SimSpec:
     budget_windows: list[tuple[str, int, int, int]] = field(
         default_factory=list)
     round_seconds: float = 5.0  # logical minute = r*round_seconds//60
+    # twin of RoundSpec.rule_book_strict: strict selector rule tables
+    rule_book_strict: bool = False
 
 
 def is_vip(url: str, from_seed: bool) -> bool:
@@ -189,7 +191,8 @@ def simulate(
             # the matching logic is independent.
             from .rulebook import will_filter_py
 
-            if will_filter_py(c, allow_https=True):
+            if will_filter_py(c, strict=spec.rule_book_strict,
+                              allow_https=True):
                 continue
             host, path = host_path(c)
             if robots.level(host, path) < spec.policy_level:

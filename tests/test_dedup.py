@@ -231,3 +231,91 @@ def test_embedding_dropped_bucket_count_surfaces(spark):
     msgs = [str(x.message) for x in w
             if "buckets exceed max_bucket_size" in str(x.message)]
     assert msgs, "expected a dropped-bucket warning"
+
+
+# -- large-star/small-star variant ------------------------------------------
+
+
+def _union_find(pairs):
+    """Ground-truth connected components: plain union-find."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # path-compress to the component min
+    return {x: find(x) for x in parent}
+
+
+def test_star_clusters_match_union_find_random(spark):
+    """Star variant vs a Python union-find on seeded random graphs —
+    several densities so both sparse forests and collapsed blobs are hit."""
+    import random
+
+    for seed, n, m in [(1, 40, 25), (2, 40, 60), (3, 25, 120)]:
+        rng = random.Random(seed)
+        pairs = [(rng.randrange(n), rng.randrange(n)) for _ in range(m)]
+        pairs = [(a, b) for a, b in pairs if a != b]
+        truth = _union_find(pairs)
+        df = spark.createDataFrame(pairs, "a long, b long")
+        got = {r["id"]: r["keep_id"]
+               for r in dedup.resolve_pair_clusters(
+                   df, algorithm="star").collect()}
+        assert got == truth, f"seed={seed}"
+
+
+def test_star_equals_label_on_chain_and_strings(spark):
+    """Star and label variants agree (same (id, keep_id) table) on a
+    transitive chain and on string ids."""
+    pairs = spark.createDataFrame(
+        [(2, 3), (3, 4), (4, 5), (10, 11)], "a long, b long"
+    )
+    label = {(r["id"], r["keep_id"])
+             for r in dedup.resolve_pair_clusters(pairs).collect()}
+    star = {(r["id"], r["keep_id"])
+            for r in dedup.resolve_pair_clusters(
+                pairs, algorithm="star").collect()}
+    assert star == label
+
+    spairs = spark.createDataFrame(
+        [("u-b", "u-a"), ("u-b", "u-c"), ("zz", "zy")],
+        "a string, b string",
+    )
+    got = {r["id"]: r["keep_id"]
+           for r in dedup.resolve_pair_clusters(
+               spairs, algorithm="star").collect()}
+    assert got == {"u-a": "u-a", "u-b": "u-a", "u-c": "u-a",
+                   "zy": "zy", "zz": "zy"}
+
+
+def test_star_beats_label_on_long_chain(spark):
+    """The reason the star variant exists: a path of length 40 exceeds a
+    label-propagation budget of 8 rounds (needs diameter ≈ 39) but the
+    O(log n) star alternation converges well inside it."""
+    import pytest as _pytest
+
+    chain = [(i, i + 1) for i in range(39)]
+    df = spark.createDataFrame(chain, "a long, b long")
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        dedup.resolve_pair_clusters(df, max_iters=8)
+    got = {r["id"]: r["keep_id"]
+           for r in dedup.resolve_pair_clusters(
+               df, max_iters=8, algorithm="star").collect()}
+    assert got == {i: 0 for i in range(40)}
+
+
+def test_star_empty_and_bad_algorithm(spark):
+    import pytest as _pytest
+
+    empty = spark.createDataFrame([], "a long, b long")
+    assert dedup.resolve_pair_clusters(empty, algorithm="star").count() == 0
+    with _pytest.raises(ValueError, match="unknown algorithm"):
+        dedup.resolve_pair_clusters(empty, algorithm="cc")

@@ -1351,3 +1351,31 @@ def test_fused_bucket_group_bound_under_skew(spark, tmp_path_factory):
         F.countDistinct("host").alias("hosts"),
     ).collect()
     assert all(r["n"] <= r["hosts"] * cap for r in rows), rows
+
+
+@pytest.mark.parametrize("strict", [False, True])
+def test_rule_book_strict_twin_e2e(spark, tmp_path_factory, strict):
+    """RoundSpec.rule_book_strict swaps in the selector's strict rule
+    tables (crawler_selector_util.cc:42-51): a search-result outlink
+    (?q= query) is crawled in normal mode but filtered in strict mode —
+    engine and simulator in lockstep either way."""
+    s = "http://a.example.com/p/0"
+    plain = "http://a.example.com/p/1"
+    searchy = "http://a.example.com/find?q=spark"
+    adj = {s: [plain, searchy], plain: [], searchy: []}
+    docs = _mk_docs(spark, adj)
+    robots = _allow_all_robots(spark, ["a.example.com"])
+    rspec = RoundSpec(n_buckets=4, max_depth=3, max_rounds=6,
+                      politeness=PolitenessSpec(qps=1.0, round_seconds=5.0),
+                      rule_book_strict=strict)
+    ck = str(tmp_path_factory.mktemp(f"ck_strict_{strict}"))
+    run, rounds = _run_engine(spark, docs, robots, ck, rspec, [s])
+    want = sim.simulate(
+        [s], adj, _sim_robots_allow(["a.example.com"]),
+        sim.SimSpec(default_budget=5, max_depth=3, max_rounds=6,
+                    rule_book_strict=strict),
+    )
+    assert rounds == want["rounds"]
+    seen = set(run.seen_urls())
+    assert plain in seen
+    assert (searchy in seen) == (not strict)
