@@ -266,7 +266,8 @@ def minhash_near_duplicates(docs: DataFrame, id_col: str = "doc_id",
 def resolve_pair_clusters(pairs: DataFrame, a_col: str = "a",
                           b_col: str = "b",
                           max_iters: int = 50,
-                          algorithm: str = "label") -> DataFrame:
+                          algorithm: str = "label",
+                          reliable: bool = False) -> DataFrame:
     """Resolve near-dup PAIRS into keep/drop clusters: connected
     components, no graph library. Returns (id, keep_id) for every id
     appearing in a pair — ``keep_id`` is the component's minimum id, the
@@ -293,16 +294,25 @@ def resolve_pair_clusters(pairs: DataFrame, a_col: str = "a",
     groupBy-min + join passes over the (shrinking) edge set. Use this at
     10^10-edge scale or whenever diameter is unknown.
 
-    Both variants eager-localCheckpoint per iteration: keeps the plan
-    flat (iterative lineage would otherwise double per round) and lets
-    the previous iteration's blocks free. Differential-tested equal to
-    each other and to a union-find on planted + random graphs.
+    Both variants eager-checkpoint per iteration: keeps the plan flat
+    (iterative lineage would otherwise double per round) and lets the
+    previous iteration's blocks free. ``reliable=True`` checkpoints to
+    the persistent ``setCheckpointDir`` store instead of executor-local
+    blocks — the cluster escape hatch for executor loss mid-loop (same
+    contract as frontier._range_prefixed / embedding_near_duplicates).
+    Differential-tested equal to each other and to a union-find on
+    planted + random graphs.
     """
     if algorithm == "star":
-        return _resolve_pairs_star(pairs, a_col, b_col, max_iters)
+        return _resolve_pairs_star(pairs, a_col, b_col, max_iters, reliable)
     if algorithm != "label":
         raise ValueError(f"unknown algorithm {algorithm!r} "
                          "(expected 'label' or 'star')")
+
+    def _ck(df: DataFrame) -> DataFrame:
+        return df.checkpoint(eager=True) if reliable \
+            else df.localCheckpoint(eager=True)
+
     spark = pairs.sparkSession
     e = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
     edges = (
@@ -310,20 +320,18 @@ def resolve_pair_clusters(pairs: DataFrame, a_col: str = "a",
                                F.col("src").alias("dst")))
         .distinct().persist()
     )
-    labels = (
+    labels = _ck(
         edges.select(F.col("src").alias("id")).distinct()
         .withColumn("keep_id", F.col("id"))
-        .localCheckpoint(eager=True)
     )
     for _ in range(max_iters):
         nb = (
             edges.join(labels, edges.src == labels.id)
             .select(F.col("dst").alias("id"), "keep_id")
         )
-        new_labels = (
+        new_labels = _ck(
             labels.unionByName(nb)
             .groupBy("id").agg(F.min("keep_id").alias("keep_id"))
-            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.join(labels.withColumnRenamed("keep_id", "_old"),
@@ -344,7 +352,7 @@ def resolve_pair_clusters(pairs: DataFrame, a_col: str = "a",
 
 
 def _resolve_pairs_star(pairs: DataFrame, a_col: str, b_col: str,
-                        max_iters: int) -> DataFrame:
+                        max_iters: int, reliable: bool = False) -> DataFrame:
     """Large-star/small-star connected components (Kiveris et al.).
 
     Edge set is kept canonically oriented (hi, lo) with hi > lo,
@@ -364,13 +372,16 @@ def _resolve_pairs_star(pairs: DataFrame, a_col: str, b_col: str,
     is then a forest of stars rooted at each component's minimum, read
     out directly as (id, keep_id). Proven O(log n) rounds; every pass is
     two groupBy-min + join shuffles keyed by node id."""
+    def _ck(df: DataFrame) -> DataFrame:
+        return df.checkpoint(eager=True) if reliable \
+            else df.localCheckpoint(eager=True)
+
     e = pairs.select(F.col(a_col).alias("x"), F.col(b_col).alias("y"))
-    edges = (
+    edges = _ck(
         e.filter(F.col("x") != F.col("y"))
         .select(F.greatest("x", "y").alias("hi"),
                 F.least("x", "y").alias("lo"))
         .distinct()
-        .localCheckpoint(eager=True)
     )
     for _ in range(max_iters):
         # large-star over the symmetric view
@@ -378,23 +389,21 @@ def _resolve_pairs_star(pairs: DataFrame, a_col: str, b_col: str,
             edges.select(F.col("lo").alias("hi"), F.col("hi").alias("lo"))
         ).select(F.col("hi").alias("u"), F.col("lo").alias("v"))
         mins = sym.groupBy("u").agg(F.min("v").alias("mn"))
-        large = (
+        large = _ck(
             sym.join(mins, "u")
             .filter(F.col("v") > F.col("u"))
             .select(F.col("v").alias("hi"),
                     F.least("u", "mn").alias("lo"))
             .distinct()
-            .localCheckpoint(eager=True)
         )
         # small-star over the (hi → smaller neighbors) orientation
         mins2 = large.groupBy("hi").agg(F.min("lo").alias("mn"))
-        new_edges = (
+        new_edges = _ck(
             large.join(mins2, "hi")
             .select(F.col("lo").alias("hi"), F.col("mn").alias("lo"))
             .filter(F.col("hi") != F.col("lo"))
             .unionByName(mins2.select("hi", F.col("mn").alias("lo")))
             .distinct()
-            .localCheckpoint(eager=True)
         )
         unchanged = (
             new_edges.count() == edges.count()

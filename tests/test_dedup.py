@@ -319,3 +319,19 @@ def test_star_empty_and_bad_algorithm(spark):
     assert dedup.resolve_pair_clusters(empty, algorithm="star").count() == 0
     with _pytest.raises(ValueError, match="unknown algorithm"):
         dedup.resolve_pair_clusters(empty, algorithm="cc")
+
+
+def test_resolve_pair_clusters_reliable_checkpoint(spark, tmp_path):
+    """Cluster escape hatch: with a checkpoint dir set, reliable=True
+    routes both variants through the persistent store and the cluster
+    table is unchanged."""
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+    pairs = spark.createDataFrame(
+        [(2, 3), (3, 4), (10, 11)], "a long, b long"
+    )
+    want = {2: 2, 3: 2, 4: 2, 10: 10, 11: 10}
+    for algo in ("label", "star"):
+        got = {r["id"]: r["keep_id"]
+               for r in dedup.resolve_pair_clusters(
+                   pairs, algorithm=algo, reliable=True).collect()}
+        assert got == want, algo
