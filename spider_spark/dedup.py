@@ -324,30 +324,34 @@ def resolve_pair_clusters(pairs: DataFrame, a_col: str = "a",
         edges.select(F.col("src").alias("id")).distinct()
         .withColumn("keep_id", F.col("id"))
     )
-    for _ in range(max_iters):
-        nb = (
-            edges.join(labels, edges.src == labels.id)
-            .select(F.col("dst").alias("id"), "keep_id")
-        )
-        new_labels = _ck(
-            labels.unionByName(nb)
-            .groupBy("id").agg(F.min("keep_id").alias("keep_id"))
-        )
-        changed = (
-            new_labels.join(labels.withColumnRenamed("keep_id", "_old"),
-                            "id")
-            .filter(F.col("keep_id") != F.col("_old")).count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
-    else:
-        raise RuntimeError(
-            f"resolve_pair_clusters did not converge in {max_iters} "
-            "iterations — component diameter exceeds the bound; raise "
-            "max_iters or use the large-star/small-star variant"
-        )
-    edges.unpersist()
+    try:
+        for _ in range(max_iters):
+            nb = (
+                edges.join(labels, edges.src == labels.id)
+                .select(F.col("dst").alias("id"), "keep_id")
+            )
+            new_labels = _ck(
+                labels.unionByName(nb)
+                .groupBy("id").agg(F.min("keep_id").alias("keep_id"))
+            )
+            changed = (
+                new_labels.join(labels.withColumnRenamed("keep_id", "_old"),
+                                "id")
+                .filter(F.col("keep_id") != F.col("_old")).count()
+            )
+            labels = new_labels
+            if changed == 0:
+                break
+        else:
+            raise RuntimeError(
+                f"resolve_pair_clusters did not converge in {max_iters} "
+                "iterations — component diameter exceeds the bound; raise "
+                "max_iters or use the large-star/small-star variant"
+            )
+    finally:
+        # also on the non-convergence raise — a failed call must not pin
+        # the symmetric edge list in executor storage for the session
+        edges.unpersist()
     return labels
 
 
@@ -377,6 +381,14 @@ def _resolve_pairs_star(pairs: DataFrame, a_col: str, b_col: str,
             else df.localCheckpoint(eager=True)
 
     e = pairs.select(F.col(a_col).alias("x"), F.col(b_col).alias("y"))
+    # every id appearing in a pair — INCLUDING ids only in reflexive
+    # (x, x) pairs, which carry no edge but must still appear in the
+    # output as their own keep_id (the label variant's behavior)
+    nodes = _ck(
+        e.select(F.col("x").alias("id"))
+        .unionByName(e.select(F.col("y").alias("id")))
+        .distinct()
+    )
     edges = _ck(
         e.filter(F.col("x") != F.col("y"))
         .select(F.greatest("x", "y").alias("hi"),
@@ -418,13 +430,16 @@ def _resolve_pairs_star(pairs: DataFrame, a_col: str, b_col: str,
             "iterations — O(log n) bound exceeded; the input is far "
             "larger than max_iters allows, raise it"
         )
-    # converged: stars rooted at component minima
+    # converged: stars rooted at component minima — non-roots read out
+    # directly from the star edges; roots and isolated (reflexive-pair)
+    # nodes fall through the left join to keep_id = id
     return (
-        edges.select(F.col("hi").alias("id"), F.col("lo").alias("keep_id"))
-        .unionByName(
-            edges.select(F.col("lo").alias("id"),
-                         F.col("lo").alias("keep_id")).distinct()
+        nodes.join(
+            edges.select(F.col("hi").alias("id"),
+                         F.col("lo").alias("keep_id")),
+            "id", "left",
         )
+        .select("id", F.coalesce("keep_id", F.col("id")).alias("keep_id"))
     )
 
 
@@ -543,17 +558,23 @@ def embedding_near_duplicates(emb: DataFrame, id_col: str = "vec_id",
     )
     dropped_buckets = 0
     if max_bucket_size is not None:
-        # hot keys are few by construction (each absorbs many rows)
-        hot = (
+        # hot keys are few by construction (≤ n_rows/max_bucket_size —
+        # each absorbs many rows), so collect them ONCE: the count feeds
+        # the no-silent-caps warning and the collected rows become the
+        # anti-join side as a driver-literal frame, instead of the
+        # broadcast job re-running the groupBy over the exploded key set
+        # a second time.
+        hot_agg = (
             keyed.groupBy("band", "key").count()
             .filter(F.col("count") > max_bucket_size)
             .drop("count")
         )
+        hot_rows = hot_agg.collect()
         # "no silent caps": surface how many (band, key) buckets the cap
         # excluded — pairs confined to those buckets are not emitted, and
         # a default-arg caller must be able to tell coverage was
-        # truncated. One tiny agg job over the already-checkpointed sig.
-        dropped_buckets = hot.count()
+        # truncated.
+        dropped_buckets = len(hot_rows)
         if dropped_buckets:
             import warnings
 
@@ -565,7 +586,9 @@ def embedding_near_duplicates(emb: DataFrame, id_col: str = "vec_id",
                 "max_bucket_size or run an exact-dup pre-pass",
                 stacklevel=2,
             )
-        keyed = keyed.join(F.broadcast(hot), ["band", "key"], "left_anti")
+            hot = emb.sparkSession.createDataFrame(hot_rows, hot_agg.schema)
+            keyed = keyed.join(F.broadcast(hot), ["band", "key"],
+                               "left_anti")
     other = keyed.select(
         "band", "key",
         F.col("id").alias("id_b"), F.col("v").alias("v_b"),

@@ -253,14 +253,16 @@ class CrawlRun:
                 "query": urlkit.url_query(F.col("url")),
             }
         )
-        c = c.filter(
-            urlkit.url_rule_filter(F.col("url"), F.col("path"), F.col("query"))
-        )
         # P7's full config: host black/restrict lists + the ~70-row site
         # rule book (crawler_selector_util.cc:32-237, shipped as data in
         # rulebook.py) — the reference selector's WillFilterAccordingRules
-        # gate, scheme check relaxed to admit https. Runs on the
-        # post-dedup candidate set; And/Or short-circuiting keeps the
+        # gate, scheme check relaxed to admit https. This is the ONLY
+        # rule gate in the round: the looser standalone
+        # urlkit.url_rule_filter (approximate data, pre-rulebook) used to
+        # run as well, which made the non-strict round STRICTER than the
+        # reference selector (e.g. dropped ?wd=/.mp4 urls the reference
+        # keeps) and paid two extra alternation regexes per row. Runs on
+        # the post-dedup candidate set; And/Or short-circuiting keeps the
         # common row at two set probes + two alternation regexes.
         # Measured cost at bench scale (cpus=32, alternating A/B, best
         # pairs): ~1 s/round — mostly per-round planning/codegen of the

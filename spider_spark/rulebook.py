@@ -261,26 +261,9 @@ def will_filter_according_rules(url: Column, host: Column, path: Column,
 
     Note the reference is an http-only 2012 crawler; the scheme check is
     kept faithful. Callers crawling https gate with
-    :func:`rule_book_keep` below, which skips the scheme check only.
+    :func:`rule_book_keep` below, which relaxes the scheme check only.
     """
-    suffixes = (PATH_SUFFIX_BLACKLIST_STRICT if strict
-                else PATH_SUFFIX_BLACKLIST)
-    tokens = (QUERY_TOKEN_BLACKLIST_STRICT if strict
-              else QUERY_TOKEN_BLACKLIST)
-    # Tokenize(path, "/") counts non-empty segments
-    depth = F.size(F.filter(F.split(path, "/"), lambda x: x != ""))
-    return (
-        (F.length(url) > MAX_LINK_SIZE)
-        | url.rlike(r"^http://[.%+]")
-        | ~url.startswith("http://")
-        | (_restricted_host(host) & ~((path == "/") & (query == "")))
-        | host.isin(*HOST_BLACKLIST)
-        | (depth >= MAX_PATH_DEPTH)
-        | path.rlike(_suffix_regex(suffixes))
-        | (F.length(query) > MAX_QUERY_LEN)
-        | query.rlike(_token_regex(tokens))
-        | search_engine_of(host, path, query, strict).isNotNull()
-    )
+    return _filter_expr(url, host, path, query, strict, allow_https=False)
 
 
 def _restricted_host(host: Column) -> Column:
@@ -303,7 +286,44 @@ def _restricted_host(host: Column) -> Column:
 # _prepare_candidates call. Column expressions are immutable and resolve
 # by NAME at analysis, so one instance serves every round/query in the
 # process (keyed by the named columns it binds).
-_KEEP_CACHE: dict = {}
+_FILTER_CACHE: dict = {}
+
+
+def _filter_expr(url: Column, host: Column, path: Column, query: Column,
+                 strict: bool, allow_https: bool) -> Column:
+    """The ONE WillFilterAccordingRules expression both public gates
+    share — only the scheme clause differs (http-only faithful vs
+    http+https for a modern crawl). Scheme matching is case-insensitive
+    like GURL's canonical spec (the python twin's urlsplit lowercases
+    the scheme, and the reference checks run on gurl.spec()); host/path/
+    query columns are expected canonical-lowercase, which both the
+    candidate pipeline (post-canonicalize) and the twin guarantee.
+    Memoized per named-column binding — see ``_FILTER_CACHE``."""
+    key = (str(url), str(host), str(path), str(query), strict, allow_https)
+    cached = _FILTER_CACHE.get(key)
+    if cached is not None:
+        return cached
+    suffixes = (PATH_SUFFIX_BLACKLIST_STRICT if strict
+                else PATH_SUFFIX_BLACKLIST)
+    tokens = (QUERY_TOKEN_BLACKLIST_STRICT if strict
+              else QUERY_TOKEN_BLACKLIST)
+    scheme = "https?" if allow_https else "http"
+    # Tokenize(path, "/") counts non-empty segments
+    depth = F.size(F.filter(F.split(path, "/"), lambda x: x != ""))
+    filtered = (
+        (F.length(url) > MAX_LINK_SIZE)
+        | ~url.rlike(f"(?i)^{scheme}://")
+        | url.rlike(f"(?i)^{scheme}://[.%+]")
+        | host.isin(*HOST_BLACKLIST)
+        | (depth >= MAX_PATH_DEPTH)
+        | (F.length(query) > MAX_QUERY_LEN)
+        | (_restricted_host(host) & ~((path == "/") & (query == "")))
+        | path.rlike(_suffix_regex(suffixes))
+        | query.rlike(_token_regex(tokens))
+        | search_engine_of(host, path, query, strict).isNotNull()
+    )
+    _FILTER_CACHE[key] = filtered
+    return filtered
 
 
 def rule_book_keep(url: Column, host: Column, path: Column, query: Column,
@@ -318,30 +338,8 @@ def rule_book_keep(url: Column, host: Column, path: Column, query: Column,
     startswith/endswith host probes whose path/query regexes only run on
     a host hit (And short-circuits). Runs on the post-dedup candidate
     set, never the raw explode. The built expression is memoized — see
-    ``_KEEP_CACHE``."""
-    key = (str(url), str(host), str(path), str(query), strict)
-    cached = _KEEP_CACHE.get(key)
-    if cached is not None:
-        return cached
-    suffixes = (PATH_SUFFIX_BLACKLIST_STRICT if strict
-                else PATH_SUFFIX_BLACKLIST)
-    tokens = (QUERY_TOKEN_BLACKLIST_STRICT if strict
-              else QUERY_TOKEN_BLACKLIST)
-    depth = F.size(F.filter(F.split(path, "/"), lambda x: x != ""))
-    filtered = (
-        (F.length(url) > MAX_LINK_SIZE)
-        | ~url.rlike(r"^https?://")   # scheme gate: http-only + https
-        | url.rlike(r"^https?://[.%+]")
-        | host.isin(*HOST_BLACKLIST)
-        | (depth >= MAX_PATH_DEPTH)
-        | (F.length(query) > MAX_QUERY_LEN)
-        | (_restricted_host(host) & ~((path == "/") & (query == "")))
-        | path.rlike(_suffix_regex(suffixes))
-        | query.rlike(_token_regex(tokens))
-        | search_engine_of(host, path, query, strict).isNotNull()
-    )
-    _KEEP_CACHE[key] = ~filtered
-    return _KEEP_CACHE[key]
+    ``_FILTER_CACHE``."""
+    return ~_filter_expr(url, host, path, query, strict, allow_https=True)
 
 
 # -- pure-Python twin (simulator / differential tests) -----------------------
@@ -363,8 +361,11 @@ def will_filter_py(url: str, strict: bool = False,
         else "http://" + url
     if len(u) > MAX_LINK_SIZE:
         return True
-    if u.startswith(("http://.", "http://%", "http://+")) or (
-        allow_https and u.startswith(("https://.", "https://%", "https://+"))
+    # GURL lowercases the scheme in the canonical spec, so the prefix
+    # check is case-insensitive (matches the Column gate's (?i) regexes)
+    ul = u[:9].lower()
+    if ul.startswith(("http://.", "http://%", "http://+")) or (
+        allow_https and ul.startswith(("https://.", "https://%", "https://+"))
     ):
         return True
     try:

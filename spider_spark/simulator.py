@@ -183,12 +183,12 @@ def simulate(
             c = canonicalize(url)
             if c is None or not extract_rule_ok(c, ref):
                 continue
-            if not rule_filter(c):
-                continue
             # P7 full rule book (host black/restrict lists + site rules):
-            # the straight-line twin of the engine's rule_book_keep gate
-            # in round._prepare_candidates. Data tables are shared config;
-            # the matching logic is independent.
+            # the straight-line twin of the engine's rule_book_keep gate,
+            # the ONLY rule gate in round._prepare_candidates (the legacy
+            # approximate rule_filter twin is standalone-operator-only,
+            # matching the engine). Data tables are shared config; the
+            # matching logic is independent.
             from .rulebook import will_filter_py
 
             if will_filter_py(c, strict=spec.rule_book_strict,

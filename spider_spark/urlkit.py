@@ -22,6 +22,8 @@ GURL::Resolve, crawler/crawler/util/text_handler.cc:102-137).
 
 from __future__ import annotations
 
+import re
+
 import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
@@ -335,7 +337,10 @@ def parse_host_py(host: str) -> tuple[str, str, str] | None:
     from .data_tld import PUBLIC_SUFFIXES
 
     h = host.strip().lower()
-    if not h or ".." in h or h.startswith(".") or h.endswith("."):
+    # same validity contract as the Column variants' _VALID_HOST_RE:
+    # non-empty dot-separated labels, no whitespace anywhere (subsumes
+    # the ".."/leading/trailing-dot checks)
+    if not re.match(r"^[^.\s]+(\.[^.\s]+)*$", h):
         return None
     labels = h.split(".")
     for k in range(len(labels) - 1, 0, -1):  # longest PROPER suffix

@@ -335,3 +335,16 @@ def test_resolve_pair_clusters_reliable_checkpoint(spark, tmp_path):
                for r in dedup.resolve_pair_clusters(
                    pairs, algorithm=algo, reliable=True).collect()}
         assert got == want, algo
+
+
+def test_cluster_variants_agree_on_reflexive_pairs(spark):
+    """A reflexive (x, x) pair carries no edge but its id must still
+    appear in the output with keep_id = itself — in BOTH variants
+    (review r4: the star variant used to drop self-pair-only ids)."""
+    pairs = spark.createDataFrame([(5, 5), (1, 2)], "a long, b long")
+    want = {1: 1, 2: 1, 5: 5}
+    for algo in ("label", "star"):
+        got = {r["id"]: r["keep_id"]
+               for r in dedup.resolve_pair_clusters(
+                   pairs, algorithm=algo).collect()}
+        assert got == want, algo

@@ -1362,7 +1362,12 @@ def test_rule_book_strict_twin_e2e(spark, tmp_path_factory, strict):
     s = "http://a.example.com/p/0"
     plain = "http://a.example.com/p/1"
     searchy = "http://a.example.com/find?q=spark"
-    adj = {s: [plain, searchy], plain: [], searchy: []}
+    # regression: ?wd= is STRICT-only in the faithful tables — the legacy
+    # approximate url_rule_filter used to also gate the round and dropped
+    # it even in normal mode (review r4: double gate, stricter than the
+    # reference selector)
+    wd = "http://a.example.com/t?wd=hello"
+    adj = {s: [plain, searchy, wd], plain: [], searchy: [], wd: []}
     docs = _mk_docs(spark, adj)
     robots = _allow_all_robots(spark, ["a.example.com"])
     rspec = RoundSpec(n_buckets=4, max_depth=3, max_rounds=6,
@@ -1379,3 +1384,4 @@ def test_rule_book_strict_twin_e2e(spark, tmp_path_factory, strict):
     seen = set(run.seen_urls())
     assert plain in seen
     assert (searchy in seen) == (not strict)
+    assert (wd in seen) == (not strict)

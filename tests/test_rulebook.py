@@ -199,6 +199,15 @@ def test_spark_expr_matches_python_twin(spark):
         if not re.match(r"^[A-Za-z][A-Za-z0-9+.-]*:", u):  # has_scheme twin
             u = "http://" + u
         prepped.append(u)
+    # GURL lowercases the scheme in the canonical spec, so the gates are
+    # case-insensitive on it (review r4: the Column side used to be
+    # case-sensitive while the twin's urlsplit lowercases)
+    prepped += [
+        "HTTP://www.sohu.com/",
+        "HTTP://.bad.example/x",
+        "HTTPS://ok.example.org/a",
+        "HtTp://ok.example.org/a",
+    ]
     df = spark.createDataFrame([(u,) for u in prepped], "url string")
     df = df.withColumns({
         "host": urlkit.url_host(F.col("url")),

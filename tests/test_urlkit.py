@@ -220,3 +220,17 @@ def test_salted_bucket_spreads_big_hosts(spark):
     ).distinct().count()
     assert plain == 1
     assert salted == 8  # spread over n_salt sub-buckets
+
+
+def test_parse_host_py_rejects_whitespace_host(spark):
+    """The python twin enforces the same host-validity contract as the
+    Column variants' _VALID_HOST_RE (review r4: 'a b.com' used to parse
+    on the python side while both Column variants return NULL)."""
+    from pyspark.sql import functions as F
+
+    for bad in ("a b.com", " ", "x..com", ".x.com", "x.com."):
+        assert urlkit.parse_host_py(bad) is None, bad
+    df = spark.createDataFrame([("a b.com",)], "host string")
+    row = df.select(
+        urlkit.registered_domain(F.col("host")).alias("d")).first()
+    assert row["d"] is None
