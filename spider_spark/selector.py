@@ -499,9 +499,22 @@ def updater_candidates(linkbase: DataFrame, now_ts: int,
     """U5 (mr_updater_mapper.cc:40-75): parse Last-Modified/Date from the
     stored header, keep the latest record per url, emit recrawl tasks
     (from='M') for pages older than ``max_age_s``. Timestamps are expected
-    pre-parsed to epoch seconds in ``last_fetch_ts`` when headers absent."""
-    lm = F.regexp_extract(F.col(header_col), r"(?i)Last-Modified:\s*([^\r\n]+)", 1)
-    dt = F.regexp_extract(F.col(header_col), r"(?i)Date:\s*([^\r\n]+)", 1)
+    pre-parsed to epoch seconds in ``last_fetch_ts`` when headers absent.
+
+    Header-field extraction is faithful to
+    ExtractParameterValueFromHeader (updater_util.cc:17-50, vectors from
+    updater_util_test.cc): the key is CASE-SENSITIVE with an exact
+    ": " separator, the LAST occurrence wins (a redirected fetch stacks
+    every followed response's header into one string — rfind), and the
+    value runs to the next CR/LF or backslash (the line-escaped form
+    stores literal '\\r\\n')."""
+    def _last_field(key: str) -> Column:
+        # greedy (?s).* pins the match to the LAST occurrence = rfind
+        return F.regexp_extract(
+            F.col(header_col), r"(?s)^.*" + key + r": ([^\r\n\\]*)", 1)
+
+    lm = _last_field("Last-Modified")
+    dt = _last_field("Date")
     raw = F.coalesce(F.nullif(lm, F.lit("")), F.nullif(dt, F.lit("")))
     # Spark's post-3.0 parser rejects the EEE weekday field — strip it
     header_ts = F.unix_timestamp(

@@ -407,3 +407,36 @@ def test_extract_rules_pathless_and_case_referers(spark):
         ("http://ok.com/1", "http://ref.shop.com"),
         ("http://ok.com/2", "http://REF.Shop.COM/a"),
     }
+
+
+def test_updater_header_extraction_reference_vectors(spark):
+    """ExtractParameterValueFromHeader fidelity (updater_util.cc:17-50,
+    vectors from updater_util_test.cc): the key is case-SENSITIVE, and on
+    a redirect-stacked header (every followed response concatenated) the
+    LAST occurrence wins (rfind)."""
+    now = 1722384000  # 2024-07-31
+    fresh = "Mon, 29 Jul 2024 00:00:00 GMT"
+    stale = "Thu, 22 Dec 2011 04:45:20 GMT"
+    head1 = ("HTTP/1.1 200 OK\r\nDate: Wed, 14 Mar 2012 10:55:46 GMT\r\n"
+             "Server: Apache/2\r\n\r\n")
+    lower = (f"HTTP/1.1 200 OK\r\nlast-modified: {stale}\r\n"
+             f"date: {stale}\r\n\r\n")
+    stacked = (f"HTTP/1.1 301 Moved\r\nLast-Modified: {stale}\r\n\r\n"
+               f"HTTP/1.1 200 OK\r\nLast-Modified: {fresh}\r\n\r\n")
+    lb = spark.createDataFrame(
+        [
+            ("http://head1.com/", head1, now - 100),
+            ("http://lower.com/", lower, now - 100),
+            ("http://stacked.com/", stacked, now - 100),
+        ],
+        "url string, http_header string, last_fetch_ts long",
+    )
+    got = {r["url"] for r in sel.updater_candidates(
+        lb, now_ts=now, max_age_s=7 * 86400).collect()}
+    # head1: Date 2012 parsed -> ancient -> stale
+    assert "http://head1.com/" in got
+    # lowercase keys must NOT match (case-sensitive rfind) -> falls back
+    # to the fresh fetch ts -> not stale
+    assert "http://lower.com/" not in got
+    # redirect-stacked: the LAST Last-Modified (fresh) wins, not the first
+    assert "http://stacked.com/" not in got
