@@ -276,6 +276,13 @@ class CrawlRun:
             F.col("url"), F.col("host"), F.col("path"), F.col("query"),
             strict=self.spec.rule_book_strict,
         ))
+        # black-hole gate (resource_saver.cc:239): drop same-host
+        # query→query outlinks of faceted-navigation trap hosts. Costs
+        # one literal host probe on the common row (And short-circuits).
+        from .selector import is_black_hole_link
+
+        c = c.filter(~is_black_hole_link(
+            F.col("host"), F.col("query"), F.col("referer")))
         c = pol.robots_level(c, self.robots)
         c = pol.robots_gate(c, self.spec.politeness.robots_policy_level)
         c = c.filter(F.col("depth") <= self.spec.max_depth)

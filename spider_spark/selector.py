@@ -71,29 +71,49 @@ def is_vip(from_col: Column, url: Column) -> Column:
     return from_col.isin("U", "V", "S", "K", "M") | homepage
 
 
+# host → (page param, mode, step) — IsGeneralSearchFirstNPage /
+# IsVerticalSearchFirstNPage (crawler_selector_util.cc:547-682, vectors
+# ported in test_selector): 'offset' params are zero-based result offsets
+# (page = off/step + 1; news.baidu.com shows 20 results/page), 'first' is
+# bing's ONE-based offset (page p starts at first = (p-1)*10 + 1, so the
+# keep bound is first ≤ (N-1)*10 + 1), 'page' is the page number itself.
 _SEARCH_PAGE_PARAMS = {
-    "www.google.com": ("start", 10),   # page = start/10 + 1
-    "www.baidu.com": ("pn", 10),
-    "www.bing.com": ("first", 10),
-    "www.sogou.com": ("page", 1),
-    "www.soso.com": ("page", 1),
+    "www.google.com": ("start", "offset", 10),
+    "www.google.com.hk": ("start", "offset", 10),
+    "www.baidu.com": ("pn", "offset", 10),
+    "news.baidu.com": ("pn", "offset", 20),
+    "zhidao.baidu.com": ("pn", "offset", 10),
+    "baike.baidu.com": ("pn", "offset", 10),
+    "wenku.baidu.com": ("pn", "offset", 10),
+    "www.bing.com": ("first", "first", 10),
+    "www.sogou.com": ("page", "page", 1),
+    "www.soso.com": ("pg", "page", 1),
 }
 
 
 def search_page_number(host: Column, query: Column) -> Column:
-    """P10: result-page number of a search URL, 1 when no page param.
-    A NULL query (e.g. the engine's homepage) is page 1 — without the
-    coalesce the NULL would propagate through the regexp and the caller's
+    """P10: result-page number of a search URL, 1 when no page param or
+    an empty param value (the reference keeps both). A NULL query (e.g.
+    the engine's homepage) is page 1 — without the coalesce the NULL
+    would propagate through the regexp and the caller's
     ``filter(page <= n)`` would silently DROP the row."""
     query = F.coalesce(query, F.lit(""))
     page = F.lit(1)
-    for h, (param, step) in _SEARCH_PAGE_PARAMS.items():
+    for h, (param, mode, step) in _SEARCH_PAGE_PARAMS.items():
         raw = F.regexp_extract(query, rf"(?:^|&){param}=(\d+)", 1)
-        val = F.when(raw == "", F.lit(1)).otherwise(
-            (raw.cast("int") / step + 1).cast("int") if step > 1
-            else raw.cast("int")
-        )
-        page = F.when(host == h, val).otherwise(page)
+        n = raw.cast("int")
+        if mode == "offset":
+            val = (n / step + 1).cast("int")
+        elif mode == "first":
+            # first=1..(step+1) is page ≤ 2 territory: page boundaries sit
+            # at (p-1)*step + 1, so first=22 is already past page 3's start
+            val = F.when(n <= 1, F.lit(1)).otherwise(
+                F.floor((n - 2) / step).cast("int") + 2)
+        else:
+            val = n
+        page = F.when(host == h,
+                      F.when(raw == "", F.lit(1)).otherwise(val)
+                      ).otherwise(page)
     return page
 
 
@@ -115,15 +135,46 @@ def strip_tel_qq(url: Column) -> Column:
 
 
 def transform_ajax_url(url: Column) -> Column:
-    """P12: #! AJAX URLs → _escaped_fragment_ crawlable form."""
+    """P12: #! AJAX URLs → _escaped_fragment_ crawlable form
+    (TransformAjaxUrl, crawl_util.cc — vectors in crawl_util_test.cc).
+    An EMPTY fragment ('…/#!') strips to the bare URL, per both the
+    reference ('http://bbs.byr.cn/#!' → 'http://bbs.byr.cn/') and the
+    AJAX-crawling spec."""
     has_bang = url.contains("#!")
     frag = F.regexp_extract(url, r"#!(.*)$", 1)
     base = F.regexp_replace(url, r"#!.*$", "")
     sep = F.when(base.contains("?"), F.lit("&")).otherwise(F.lit("?"))
     return F.when(
-        has_bang,
+        has_bang & (frag != ""),
         F.concat(base, sep, F.lit("_escaped_fragment_="), frag),
-    ).otherwise(url)
+    ).when(has_bang, base).otherwise(url)
+
+
+# kBlackHoleHosts (crawler_selector_util.cc:684): faceted-navigation
+# hosts whose query-bearing pages link to endless same-host query
+# permutations — a crawl trap ("black hole"). The reference skips such
+# outlinks at extraction time (resource_saver.cc:239).
+BLACK_HOLE_HOSTS = ("edu.360.cn",)
+
+
+def is_black_hole_link(target_host: Column, target_query: Column,
+                       referer: Column) -> Column:
+    """IsBlackHoleLink (crawler_selector_util.cc:695-704, vectors from
+    crawler_selector_test.cc IsBlackHostLink): True iff the REFERER is a
+    query-bearing page on a black-hole host and the target is another
+    query-bearing page on the SAME host. NULL-referer rows (seeds,
+    enqueued sources) are never black holes."""
+    from . import urlkit
+
+    ref_host = urlkit.url_host(referer)
+    ref_query = urlkit.url_query(referer)
+    return (
+        referer.isNotNull()
+        & ref_host.isin(*BLACK_HOLE_HOSTS)
+        & (ref_query != "")
+        & (target_host == ref_host)
+        & (F.coalesce(target_query, F.lit("")) != "")
+    )
 
 
 # hosts whose urls are redirect wrappers worth unwrapping — the reference

@@ -195,6 +195,16 @@ def simulate(
                               allow_https=True):
                 continue
             host, path = host_path(c)
+            # black-hole gate twin (selector.is_black_hole_link — the
+            # host dict is shared config data, the logic is independent)
+            from .selector import BLACK_HOLE_HOSTS
+
+            if ref is not None:
+                rp = urlsplit(ref)
+                rhost = (rp.hostname or "").lower()
+                if (rhost in BLACK_HOLE_HOSTS and rp.query
+                        and host == rhost and urlsplit(c).query):
+                    continue
             if robots.level(host, path) < spec.policy_level:
                 continue
             if depth > spec.max_depth:

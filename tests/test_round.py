@@ -1385,3 +1385,30 @@ def test_rule_book_strict_twin_e2e(spark, tmp_path_factory, strict):
     assert plain in seen
     assert (searchy in seen) == (not strict)
     assert (wd in seen) == (not strict)
+
+
+def test_black_hole_gate_twin_e2e(spark, tmp_path_factory):
+    """Black-hole outlink gate (resource_saver.cc:239) wired through the
+    round: a query-bearing page on edu.360.cn must not enqueue its own
+    same-host query permutations, but its query-less links and the
+    trap host's own entry page still crawl — engine and simulator in
+    lockstep."""
+    entry = "http://edu.360.cn/p/0"           # query-less entry: fine
+    faceted = "http://edu.360.cn/edu?city=a"  # query page (from clean ref)
+    trap = "http://edu.360.cn/edu?city=b"     # query→query: black hole
+    clean = "http://edu.360.cn/about"         # query→no-query: fine
+    adj = {entry: [faceted], faceted: [trap, clean], trap: [], clean: []}
+    docs = _mk_docs(spark, adj)
+    robots = _allow_all_robots(spark, ["edu.360.cn"])
+    rspec = RoundSpec(n_buckets=4, max_depth=4, max_rounds=8,
+                      politeness=PolitenessSpec(qps=1.0, round_seconds=5.0))
+    ck = str(tmp_path_factory.mktemp("ck_bh"))
+    run, rounds = _run_engine(spark, docs, robots, ck, rspec, [entry])
+    want = sim.simulate(
+        [entry], adj, _sim_robots_allow(["edu.360.cn"]),
+        sim.SimSpec(default_budget=5, max_depth=4, max_rounds=8),
+    )
+    assert rounds == want["rounds"]
+    seen = set(run.seen_urls())
+    assert faceted in seen and clean in seen
+    assert trap not in seen

@@ -440,3 +440,97 @@ def test_updater_header_extraction_reference_vectors(spark):
     assert "http://lower.com/" not in got
     # redirect-stacked: the LAST Last-Modified (fresh) wins, not the first
     assert "http://stacked.com/" not in got
+
+
+def test_transform_ajax_reference_vectors(spark):
+    """crawl_util_test.cc IsAjaxUrl/TransformAjaxUrl vectors, incl. the
+    empty-fragment strip."""
+    cases = [
+        ("", ""),
+        ("http://tb.himg.baidu.com/sys/portrait/item/ff1ca1ced7d4",
+         "http://tb.himg.baidu.com/sys/portrait/item/ff1ca1ced7d4"),
+        ("http://bbs.byr.cn/#!board/Job",
+         "http://bbs.byr.cn/?_escaped_fragment_=board/Job"),
+        ("http://bbs.byr.cn/#!", "http://bbs.byr.cn/"),
+        ("http://www.newsmth.net/nForum/#!article/ITExpress/1262857",
+         "http://www.newsmth.net/nForum/?_escaped_fragment_="
+         "article/ITExpress/1262857"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = {r["url"]: r["t"] for r in df.select(
+        "url", sel.transform_ajax_url(F.col("url")).alias("t")).collect()}
+    for u, want in cases:
+        assert got[u] == want, u
+
+
+def test_search_first_n_pages_reference_vectors(spark):
+    """IsGeneralSearchFirstNPage / IsVerticalSearchFirstNPage vectors
+    (crawler_selector_test.cc:327-407), N=3: page boundaries per engine —
+    google/baidu zero-based offsets, bing one-based first=, sogou page=,
+    soso pg=, baidu verticals pn= with news at 20 results/page."""
+    from urllib.parse import urlsplit
+
+    cases = [  # (url, kept at N=3)
+        ("http://www.google.com.hk/search?q=123&sa=N", True),
+        ("http://www.google.com.hk/search?q=123&start=0&sa=N", True),
+        ("http://www.google.com.hk/search?q=123&start=20&sa=N", True),
+        ("http://www.google.com.hk/search?q=123&start=30&sa=N", False),
+        ("http://www.baidu.com/s?wd=x&usm=2", True),
+        ("http://www.baidu.com/s?wd=x&pn=&usm=2", True),
+        ("http://www.baidu.com/s?wd=x&pn=10&usm=2", True),
+        ("http://www.baidu.com/s?wd=x&pn=20&tn=monline_dg", True),
+        ("http://www.baidu.com/s?wd=x&pn=30&tn=monline_dg", False),
+        ("http://www.bing.com/search?q=x&first=31&FORM=PERE3", False),
+        ("http://www.bing.com/search?q=x&first=1&FORM=PERE3", True),
+        ("http://www.bing.com/search?q=x&first=21&FORM=PERE3", True),
+        ("http://www.bing.com/search?q=x&FORM=PERE3", True),
+        ("http://www.sogou.com/sogou?query=x&page=2&duppid=1", True),
+        ("http://www.sogou.com/sogou?query=x&page=9&duppid=1", False),
+        ("http://www.soso.com/q?w=x&sd=0&nf=0&pg=1", True),
+        ("http://www.soso.com/q?w=x&sd=0&nf=0&pg=4", False),
+        # verticals: news 20/page, zhidao/baike/wenku 10/page
+        ("http://news.baidu.com/ns?rn=20&word=x&pn=40&cl=2", True),
+        ("http://news.baidu.com/ns?rn=20&word=x&pn=60&cl=2", False),
+        ("http://zhidao.baidu.com/q?ct=17&word=x&lm=0&pn=10", True),
+        ("http://zhidao.baidu.com/q?ct=17&word=x&lm=0&pn=30", False),
+        ("http://baike.baidu.com/w?ct=17&word=x&rn=10&pn=20", True),
+        ("http://baike.baidu.com/w?ct=17&word=x&rn=10&pn=30", False),
+        ("http://wenku.baidu.com/search?word=x&lm=0&od=0&pn=10", True),
+        ("http://wenku.baidu.com/search?word=x&lm=0&od=0&pn=40", False),
+    ]
+    rows = [(u, (urlsplit(u).hostname or ""), urlsplit(u).query)
+            for u, _ in cases]
+    df = spark.createDataFrame(rows, "url string, host string, query string")
+    kept = {r["url"] for r in
+            sel.keep_first_n_search_pages(df, n=3).collect()}
+    for u, want in cases:
+        assert (u in kept) == want, u
+
+
+def test_black_hole_link_reference_vectors(spark):
+    """IsBlackHoleLink vectors (crawler_selector_test.cc IsBlackHostLink):
+    query→query same-host links on a black-hole host are traps; homepage
+    referers, query-less targets, and non-dict hosts are not."""
+    from urllib.parse import urlsplit
+
+    cases = [  # (target, parent, is_black_hole)
+        ("http://edu.360.cn/edu/?channel=zd&city=h",
+         "http://edu.360.cn/?channel=zd&city=w", True),
+        ("http://edu.360.cn",
+         "http://edu.360.cn/?channel=zd&city=w", False),
+        ("http://edu.360.cn/edu/?channel=zd&city=h",
+         "http://edu.360.cn/", False),
+        ("http://a.b.cn/edu/?channel=zd&city=h",
+         "http://a.b.cn/?channel=zd&city=w", False),
+    ]
+    rows = [(t, (urlsplit(t).hostname or ""), urlsplit(t).query, p)
+            for t, p, _ in cases]
+    df = spark.createDataFrame(
+        rows, "target string, host string, query string, referer string")
+    got = {(r["target"], r["referer"]): r["bh"] for r in df.select(
+        "target", "referer",
+        sel.is_black_hole_link(
+            F.col("host"), F.col("query"), F.col("referer")).alias("bh"),
+    ).collect()}
+    for t, p, want in cases:
+        assert got[(t, p)] == want, (t, p)
