@@ -177,6 +177,34 @@ def is_black_hole_link(target_host: Column, target_query: Column,
     )
 
 
+# kInvaluableImageDict (crawler_selector_util.cc:716): (host glob, path
+# glob) pairs naming image urls not worth fetching (user avatars etc.);
+# the selector drops kImage resources matching it
+# (mr_selector_r1_mapper.cc:187).
+INVALUABLE_IMAGE_GLOBS = (("tb.himg.baidu.com", "/sys/portrait/item/*"),)
+
+
+def is_valuable_image_link(url: Column) -> Column:
+    """IsValuableImageLink (crawler_selector_util.cc:719-736): False for
+    image urls matching the invaluable dict. Implements the documented
+    intent — the reference body short-circuits on ``gurl.is_valid()``
+    where ``!is_valid`` was clearly meant (its own test vectors cannot
+    tell the two apart); here an unparseable url is simply not valuable."""
+    from . import urlkit
+    from .rulebook import glob_to_regex
+
+    host = urlkit.url_host(url)
+    path = urlkit.url_path(url)
+    parseable = host != ""
+    invaluable = F.lit(False)
+    for host_g, path_g in INVALUABLE_IMAGE_GLOBS:
+        invaluable = invaluable | (
+            host.rlike(f"^(?:{glob_to_regex(host_g)})$")
+            & path.rlike(f"^(?:{glob_to_regex(path_g)})$")
+        )
+    return parseable & ~invaluable
+
+
 # hosts whose urls are redirect wrappers worth unwrapping — the reference
 # parses targets ONLY for Baidu/Google log urls (uv_data.cc:191-200 calls
 # ParseBaiduTargetUrl/ParseGoogleTargetUrl per recognized engine); an

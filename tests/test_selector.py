@@ -534,3 +534,22 @@ def test_black_hole_link_reference_vectors(spark):
     ).collect()}
     for t, p, want in cases:
         assert got[(t, p)] == want, (t, p)
+
+
+def test_valuable_image_link_reference_vectors(spark):
+    """IsValuableImageLink vectors (crawler_selector_test.cc:406-417):
+    the avatar dict is invaluable; ordinary images and glob-miss paths
+    are valuable; garbage is not valuable."""
+    cases = [
+        ("http://tb.himg.baidu.com/sys/portrait/item/ff1ca1ced7d4", False),
+        ("http://tb.himg.baidu.com/sys/portrait/item/", False),
+        ("http://tb.himg.baidu.com/other/pic.jpg", True),
+        ("http://img.example.com/a.png", True),
+        ("not a url", False),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = {r["url"]: r["v"] for r in df.select(
+        "url", sel.is_valuable_image_link(F.col("url")).alias("v")
+    ).collect()}
+    for u, want in cases:
+        assert got[u] == want, u
