@@ -385,8 +385,62 @@ class CrawlRun:
             os.path.join(self._round_dir(r), name)
         )
 
+    # state-table schemas are fixed by this module / politeness.py — bind
+    # them on read: parquet schema inference costs a driver-side Spark job
+    # + footer read per call (~90 ms × 3 state reads per round, measured
+    # in the cProfile of the round's driver thread), and on an object
+    # store it is a remote round-trip. `_read_infer` stays for the
+    # resume-compat probe that must see the file's REAL columns.
+    _STATE_SCHEMAS = {
+        "frontier": FRONTIER_SCHEMA,
+        "seen_state": "bucket int, state binary",
+        "host_state": pol.HOST_STATE_SCHEMA,
+    }
+
     def _read(self, r: int, name: str) -> DataFrame:
+        reader = self.spark.read
+        schema = self._STATE_SCHEMAS.get(name)
+        if schema is not None:
+            reader = reader.schema(schema)
+        return reader.parquet(os.path.join(self._round_dir(r), name))
+
+    def _read_infer(self, r: int, name: str) -> DataFrame:
         return self.spark.read.parquet(os.path.join(self._round_dir(r), name))
+
+    def _table_files(self, path: str) -> list[dict]:
+        """Per-data-file stats for one just-written state table — the
+        Iceberg manifest-list role (snapshot → manifest → data files with
+        row counts/sizes). Read from the parquet footers driver-side:
+        zero extra Spark jobs, and on an object store the same footers are
+        what a real Iceberg commit records. Files are the partition unit
+        (one file per written partition), so this IS the per-partition
+        lineage the commit marker carries."""
+        import pyarrow.parquet as pq
+
+        out = []
+        for fn in sorted(os.listdir(path)):
+            if fn.startswith(("_", ".")) or not fn.endswith(".parquet"):
+                continue
+            p = os.path.join(path, fn)
+            out.append({
+                "file": fn,
+                "bytes": os.path.getsize(p),
+                "rows": pq.ParquetFile(p).metadata.num_rows,
+            })
+        return out
+
+    def _snapshot_files(self, r: int, lb_delta_round: int | None) -> dict:
+        """Manifest `files` section: every state table this commit wrote,
+        with per-file (= per-partition) row counts and sizes."""
+        files = {
+            name: self._table_files(os.path.join(self._round_dir(r), name))
+            for name in ("frontier", "seen_state", "host_state")
+        }
+        if lb_delta_round is not None:
+            files["linkbase_delta"] = self._table_files(
+                self._lb_delta_dir(lb_delta_round)
+            )
+        return files
 
     # -- linkbase: append-only per-round delta partitions (Iceberg-append
     #    role; a full rewrite per round would be O(rounds²) at scale).
@@ -809,6 +863,47 @@ class CrawlRun:
                 rounds.append(int(d.split("=")[1]))
         return max(rounds) if rounds else None
 
+    # -- snapshot lineage / time travel (Iceberg snapshot-log role) ----------
+
+    def lineage(self) -> list[dict]:
+        """The committed snapshot chain, oldest → newest. Each entry is a
+        round's commit manifest: round, parent_round, metrics, and the
+        per-partition ``files`` lineage (file, rows, bytes per state
+        table). This is the Iceberg snapshot-log / lineage-table role
+        (SURVEY §2.11): a monitoring job reads it without touching any
+        state parquet."""
+        if not os.path.isdir(self.ckpt):
+            return []
+        rounds = sorted(
+            int(d.split("=")[1]) for d in os.listdir(self.ckpt)
+            if d.startswith("round=")
+            and os.path.exists(os.path.join(self.ckpt, d, "manifest.json"))
+        )
+        out = []
+        for r in rounds:
+            with open(os.path.join(self._round_dir(r), "manifest.json")) as f:
+                out.append(json.load(f))
+        return out
+
+    def state_asof(self, r: int, name: str) -> DataFrame:
+        """Time-travel read: a state table exactly as committed round
+        ``r`` saw it. ``name`` ∈ {frontier, seen_state, host_state,
+        linkbase}; the linkbase snapshot is the union of deltas ≤ r-1
+        (delta r commits with manifest r+1). Raises if round r was never
+        committed — an uncommitted round's files may be a torn write."""
+        if not os.path.exists(
+            os.path.join(self._round_dir(r), "manifest.json")
+        ):
+            raise ValueError(
+                f"round {r} has no commit manifest at {self.ckpt}; "
+                "only committed snapshots are readable"
+            )
+        if name == "linkbase":
+            return self._linkbase(r - 1)
+        if name not in self._STATE_SCHEMAS:
+            raise ValueError(f"unknown state table {name!r}")
+        return self._read(r, name)
+
     # -- the round ------------------------------------------------------------
 
     def bootstrap(self, seeds: DataFrame) -> None:
@@ -850,7 +945,8 @@ class CrawlRun:
         self._manifest(
             0,
             {"seeded": True, "frontier": int(obs.get["n"]),
-             "spec": self._spec_fingerprint()},
+             "spec": self._spec_fingerprint(),
+             "files": self._snapshot_files(0, lb_delta_round=0)},
         )
 
     def _spec_fingerprint(self) -> dict:
@@ -876,7 +972,7 @@ class CrawlRun:
             # would otherwise die later with an opaque unresolved-column
             # AnalysisException instead of a resume error
             last = self.last_committed_round()
-            if last is not None and "vip" not in self._read(
+            if last is not None and "vip" not in self._read_infer(
                 last, "frontier"
             ).columns:
                 raise ValueError(
@@ -1159,7 +1255,12 @@ class CrawlRun:
         self._manifest(
             r + 1,
             {"metrics": metrics, "parent_round": r,
-             "spec": self._spec_fingerprint()},
+             "spec": self._spec_fingerprint(),
+             # Iceberg-snapshot role: the commit marker carries the
+             # per-partition (= per-file) lineage of every state table
+             # this round wrote — row counts + sizes from the parquet
+             # footers, no extra Spark jobs
+             "files": self._snapshot_files(r + 1, lb_delta_round=r)},
         )
         return {"round": r, "admitted_urls": admitted_urls, **metrics}
 

@@ -57,6 +57,15 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # Spark 4's DataFrame debugging wraps EVERY DataFrame API call
+        # with a conf.get + PySparkCurrentOrigin.set/clear (3 py4j round
+        # trips) plus a Python stack walk, to attach Python call sites to
+        # error messages. A crawl round issues ~300 such calls of pure
+        # plan construction, so the wrapper alone costs ~1 s/round of
+        # driver time (cold-JVM A/B, BENCH.md). Error messages still
+        # carry the JVM-side context; static conf, so it must be set
+        # here, not per-query. Override via extra_conf to debug.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -1412,3 +1412,57 @@ def test_black_hole_gate_twin_e2e(spark, tmp_path_factory):
     seen = set(run.seen_urls())
     assert faceted in seen and clean in seen
     assert trap not in seen
+
+
+def test_snapshot_lineage_per_file(spark_result):
+    """Every commit manifest carries the Iceberg-manifest-shaped per-file
+    lineage, and the per-file row counts sum EXACTLY to the round metrics
+    the Observations recorded — the footer-derived lineage and the
+    job-observed counts are independent paths to the same numbers."""
+    run, _ = spark_result
+    lin = run.lineage()
+    assert lin[0]["round"] == 0 and lin[0].get("seeded") is True
+    assert sum(
+        f["rows"] for f in lin[0]["files"]["frontier"]
+    ) == lin[0]["frontier"]
+    assert len(lin) >= 3
+    for m in lin[1:]:
+        assert m["round"] == m["parent_round"] + 1
+        files = m["files"]
+        met = m["metrics"]
+        assert sum(f["rows"] for f in files["frontier"]) == met[
+            "frontier_next"]
+        assert sum(f["rows"] for f in files["host_state"]) == met[
+            "hosts_tracked"]
+        assert sum(f["rows"] for f in files["linkbase_delta"]) == met[
+            "linkbase_delta_rows"]
+        # the sign-shard state always holds one row per bucket
+        assert sum(f["rows"] for f in files["seen_state"]) == RSPEC.n_buckets
+        for tbl in files.values():
+            for f in tbl:
+                assert f["bytes"] > 0 and f["rows"] >= 0
+                assert f["file"].endswith(".parquet")
+
+
+def test_state_asof_time_travel(spark_result):
+    """state_asof(r, ...) reproduces each committed snapshot exactly (row
+    counts match the manifest), the linkbase snapshot grows monotonically,
+    and uncommitted rounds are unreadable."""
+    import pytest as _pytest
+
+    run, _ = spark_result
+    lin = run.lineage()
+    for m in lin:
+        r = m["round"]
+        want = m["frontier"] if m.get("seeded") else m["metrics"][
+            "frontier_next"]
+        assert run.state_asof(r, "frontier").count() == want
+    lb_counts = [run.state_asof(m["round"], "linkbase").count()
+                 for m in lin]
+    assert all(a <= b for a, b in zip(lb_counts, lb_counts[1:]))
+    assert lb_counts[0] == 0 and lb_counts[-1] > 0
+    last = run.last_committed_round()
+    with _pytest.raises(ValueError, match="no commit manifest"):
+        run.state_asof(last + 99, "frontier")
+    with _pytest.raises(ValueError, match="unknown state table"):
+        run.state_asof(last, "nope")
