@@ -800,9 +800,23 @@ class CrawlRun:
             if not os.path.isdir(fdir):
                 os.rename(staged, fdir)
         marker = os.path.join(rdir, "_enqueue_pending.json")
-        if os.path.exists(marker):
+        did_swap = os.path.exists(marker)
+        if did_swap:
             os.remove(marker)
         shutil.rmtree(trash, ignore_errors=True)
+        # the swap replaced a COMMITTED round's frontier — refresh the
+        # manifest's per-file lineage so the snapshot record matches the
+        # files on disk (runs on the crash-recovery path too, since the
+        # marker survives a crash)
+        mf = os.path.join(rdir, "manifest.json")
+        if did_swap and os.path.exists(mf):
+            with open(mf) as f:
+                m = json.load(f)
+            if "files" in m:
+                m["files"]["frontier"] = self._table_files(fdir)
+                m["enqueued"] = True
+                with open(mf, "w") as f:
+                    json.dump(m, f, indent=1, sort_keys=True)
 
     def _recover_enqueue(self) -> None:
         """Resume-time repair for a crash mid-enqueue: a marker means the

@@ -52,7 +52,12 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # 64k-row Arrow batches: the scalar pandas kernels (canonicalize,
+        # simhash, minhash) measure consistently faster with fewer batch
+        # boundaries (cold-JVM A/B pairs, BENCH.md r5); cogrouped stages
+        # are whole-group batches either way. ~100 B/url × 64k ≈ 6 MB per
+        # in-flight batch — far under executor headroom at any scale.
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or 32))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))

@@ -1466,3 +1466,31 @@ def test_state_asof_time_travel(spark_result):
         run.state_asof(last + 99, "frontier")
     with _pytest.raises(ValueError, match="unknown state table"):
         run.state_asof(last, "nope")
+
+
+def test_enqueue_refreshes_manifest_lineage(spark, tmp_path_factory):
+    """enqueue() swaps a COMMITTED round's frontier — the snapshot
+    manifest's per-file lineage must be refreshed to match the files now
+    on disk (and the crash-recovery path must refresh too)."""
+    import json as _json
+    import os as _os
+
+    s = "http://lq.example.com/p/0"
+    a = "http://lq.example.com/p/1"
+    docs = _mk_docs(spark, {s: [a], a: []})
+    robots = _allow_all_robots(spark, ["lq.example.com"])
+    ck = str(tmp_path_factory.mktemp("ck_lq"))
+    rspec = RoundSpec(n_buckets=4, max_depth=3, max_rounds=10,
+                      politeness=PolitenessSpec(qps=1.0, round_seconds=1.0))
+    run = CrawlRun(spark, docs, robots, ck, rspec)
+    run.bootstrap(spark.createDataFrame([(s,)], "url string"))
+    run.run_round(0)
+    n = run.enqueue(
+        spark.createDataFrame([("http://lq.example.com/p/9",)],
+                              "url string"),
+        from_code="M", depth=0)
+    with open(_os.path.join(ck, "round=0001", "manifest.json")) as f:
+        m = _json.load(f)
+    assert m["enqueued"] is True
+    assert sum(x["rows"] for x in m["files"]["frontier"]) == n
+    assert run.state_asof(1, "frontier").count() == n
