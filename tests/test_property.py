@@ -150,3 +150,17 @@ def test_fast_path_df_canonicalizer_agrees(spark):
     }
     want = {c for c in (py_canon(u) for u in set(cases)) if c is not None}
     assert out == want
+
+
+def test_session_perf_contract(spark):
+    """The engine-session confs that benchmarks and scale depend on
+    (BENCH.md §0): Arrow enabled with 64k batches, AQE + skew join on,
+    and Spark 4's per-call DataFrame-debugging wrapper OFF (it costs
+    ~1 s/round of driver-side py4j round trips)."""
+    conf = spark.conf
+    assert conf.get("spark.sql.execution.arrow.pyspark.enabled") == "true"
+    assert conf.get("spark.sql.execution.arrow.maxRecordsPerBatch") == "65536"
+    assert conf.get("spark.sql.adaptive.enabled") == "true"
+    assert conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+    assert conf.get(
+        "spark.python.sql.dataFrameDebugging.enabled", "true") == "false"
