@@ -540,6 +540,26 @@ class CrawlRun:
             json.dump({"compacted_through": pending["compacted_through"],
                        "rows_before": pending["rows_before"],
                        "rows_after": pending["rows_after"]}, f)
+        # refresh the affected snapshots' linkbase lineage: compaction
+        # replaced delta r's files (a compacted round=r partition now
+        # holds the urls whose LATEST fetch was round r, or nothing), so
+        # manifest r+1's recorded files would point at retired paths.
+        # Runs before the pending marker is removed → crash-resumable
+        # with the rest of the swap; idempotent like the renames above.
+        for r in pending["targets"]:
+            mfp = os.path.join(self._round_dir(r + 1), "manifest.json")
+            if not os.path.exists(mfp):
+                continue
+            with open(mfp) as f:
+                m = json.load(f)
+            if "files" not in m:
+                continue
+            d = self._lb_delta_dir(r)
+            m["files"]["linkbase_delta"] = (
+                self._table_files(d) if os.path.isdir(d) else []
+            )
+            m["linkbase_compacted_through"] = pending["compacted_through"]
+            self._write_manifest_json(mfp, m)
         # the swap is complete and recorded — only now is data destroyed
         os.remove(os.path.join(lb_root, "_swap_pending.json"))
         shutil.rmtree(trash, ignore_errors=True)
@@ -742,6 +762,10 @@ class CrawlRun:
             raise ValueError(f"no committed rounds under {self.ckpt}; "
                              "bootstrap first")
         self._recover_enqueue()  # complete/garbage-collect a prior crash
+        # same layout/compat guard as resume: the schema-bound frontier
+        # read would silently fill a pre-'vip' checkpoint's missing column
+        # with NULLs instead of failing — validate before touching state
+        self._validate_resume_spec()
         cand = self._prepare_candidates(
             urls.select(
                 F.col("url"), F.lit(depth).alias("depth"),
@@ -800,23 +824,28 @@ class CrawlRun:
             if not os.path.isdir(fdir):
                 os.rename(staged, fdir)
         marker = os.path.join(rdir, "_enqueue_pending.json")
-        did_swap = os.path.exists(marker)
-        if did_swap:
-            os.remove(marker)
-        shutil.rmtree(trash, ignore_errors=True)
         # the swap replaced a COMMITTED round's frontier — refresh the
-        # manifest's per-file lineage so the snapshot record matches the
-        # files on disk (runs on the crash-recovery path too, since the
-        # marker survives a crash)
+        # manifest's per-file lineage AND its frontier count so the
+        # snapshot record matches the files on disk. This runs BEFORE the
+        # marker is removed (and is idempotent), so a crash anywhere in
+        # the sequence is completed by _recover_enqueue on the next run —
+        # the marker is the refresh's durability guard too.
         mf = os.path.join(rdir, "manifest.json")
-        if did_swap and os.path.exists(mf):
+        if os.path.exists(marker) and os.path.exists(mf):
             with open(mf) as f:
                 m = json.load(f)
             if "files" in m:
                 m["files"]["frontier"] = self._table_files(fdir)
+                total = sum(x["rows"] for x in m["files"]["frontier"])
+                if "metrics" in m:
+                    m["metrics"]["frontier_next"] = total
+                if m.get("seeded"):
+                    m["frontier"] = total
                 m["enqueued"] = True
-                with open(mf, "w") as f:
-                    json.dump(m, f, indent=1, sort_keys=True)
+                self._write_manifest_json(mf, m)
+        if os.path.exists(marker):
+            os.remove(marker)
+        shutil.rmtree(trash, ignore_errors=True)
 
     def _recover_enqueue(self) -> None:
         """Resume-time repair for a crash mid-enqueue: a marker means the
@@ -885,7 +914,12 @@ class CrawlRun:
         per-partition ``files`` lineage (file, rows, bytes per state
         table). This is the Iceberg snapshot-log / lineage-table role
         (SURVEY §2.11): a monitoring job reads it without touching any
-        state parquet."""
+        state parquet. ``files`` always reflects the CURRENT disk state
+        (post-commit mutations refresh it and leave a flag: ``enqueued``
+        for a frontier merge — which also refreshes the frontier count —
+        and ``linkbase_compacted_through`` for delta compaction, after
+        which files diverges from the historical ``metrics`` by
+        design)."""
         if not os.path.isdir(self.ckpt):
             return []
         rounds = sorted(
@@ -956,11 +990,16 @@ class CrawlRun:
         # empty linkbase delta seeds the partitioned layout
         empty_lb = self.spark.createDataFrame([], LINKBASE_SCHEMA)
         self._write_linkbase_delta(empty_lb, 0)
+        # lb_delta_round=None: the seed delta at linkbase/round=0 is a
+        # schema-bearing placeholder that run_round(0) OVERWRITES — delta
+        # r's lineage belongs to manifest r+1 (the commit that wrote it);
+        # recording the placeholder here would leave manifest 0 pointing
+        # at deleted files and double-count delta 0 across snapshots
         self._manifest(
             0,
             {"seeded": True, "frontier": int(obs.get["n"]),
              "spec": self._spec_fingerprint(),
-             "files": self._snapshot_files(0, lb_delta_round=0)},
+             "files": self._snapshot_files(0, lb_delta_round=None)},
         )
 
     def _spec_fingerprint(self) -> dict:
@@ -1003,10 +1042,19 @@ class CrawlRun:
                 "would probe seen_state under mismatched bucket keys"
             )
 
+    def _write_manifest_json(self, path: str, payload: dict) -> None:
+        """Write-then-rename: the manifest IS the round's commit marker
+        (and lineage record), so an in-place truncate-dump torn by a crash
+        would leave a round half-committed — `last_committed_round` counts
+        the file's existence, and every reader json-parses it."""
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(payload, f, indent=1, sort_keys=True)
+        os.replace(tmp, path)
+
     def _manifest(self, r: int, extra: dict) -> None:
         path = os.path.join(self._round_dir(r), "manifest.json")
-        with open(path, "w") as f:
-            json.dump({"round": r, **extra}, f, indent=1, sort_keys=True)
+        self._write_manifest_json(path, {"round": r, **extra})
 
     def run_round(self, r: int) -> dict:
         """Execute round r reading state from round r's dir, writing r+1."""

@@ -552,6 +552,25 @@ def test_linkbase_compaction_preserves_crawl(spark, tmp_path_factory):
     with pytest.raises(ValueError, match="compacted"):
         run1._linkbase(met["compacted_through"] - 1)
 
+    # compaction refreshed the affected snapshots' linkbase lineage: the
+    # recorded files match what is on disk NOW (not the retired deltas),
+    # and the divergence from the historical metrics is flagged
+    import os as _os
+
+    c = met["compacted_through"]
+    for m in run1.lineage():
+        r = m["round"] - 1  # manifest r+1 records delta r
+        if m.get("seeded"):
+            assert "linkbase_delta" not in m.get("files", {})
+            continue
+        if r <= c:
+            assert m["linkbase_compacted_through"] == c
+            d = _os.path.join(ck, "linkbase", f"round={r}")
+            want = (sorted(fn for fn in _os.listdir(d)
+                           if fn.endswith(".parquet"))
+                    if _os.path.isdir(d) else [])
+            assert [x["file"] for x in m["files"]["linkbase_delta"]] == want
+
     run2 = CrawlRun(spark, docs, robots, ck, spec(7))
     res2 = run2.run(seeds_df, resume=True)
     rounds = [r["admitted_urls"] for r in res1 + res2]
@@ -1493,4 +1512,5 @@ def test_enqueue_refreshes_manifest_lineage(spark, tmp_path_factory):
         m = _json.load(f)
     assert m["enqueued"] is True
     assert sum(x["rows"] for x in m["files"]["frontier"]) == n
+    assert m["metrics"]["frontier_next"] == n  # metrics refreshed too
     assert run.state_asof(1, "frontier").count() == n
