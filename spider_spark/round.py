@@ -547,19 +547,19 @@ class CrawlRun:
         # Runs before the pending marker is removed → crash-resumable
         # with the rest of the swap; idempotent like the renames above.
         for r in pending["targets"]:
-            mfp = os.path.join(self._round_dir(r + 1), "manifest.json")
-            if not os.path.exists(mfp):
-                continue
-            with open(mfp) as f:
-                m = json.load(f)
-            if "files" not in m:
-                continue
             d = self._lb_delta_dir(r)
-            m["files"]["linkbase_delta"] = (
-                self._table_files(d) if os.path.isdir(d) else []
+
+            def refresh(m, d=d):
+                m["files"]["linkbase_delta"] = (
+                    self._table_files(d) if os.path.isdir(d) else []
+                )
+                m["linkbase_compacted_through"] = pending[
+                    "compacted_through"]
+
+            self._update_manifest(
+                os.path.join(self._round_dir(r + 1), "manifest.json"),
+                refresh,
             )
-            m["linkbase_compacted_through"] = pending["compacted_through"]
-            self._write_manifest_json(mfp, m)
         # the swap is complete and recorded — only now is data destroyed
         os.remove(os.path.join(lb_root, "_swap_pending.json"))
         shutil.rmtree(trash, ignore_errors=True)
@@ -824,17 +824,15 @@ class CrawlRun:
             if not os.path.isdir(fdir):
                 os.rename(staged, fdir)
         marker = os.path.join(rdir, "_enqueue_pending.json")
-        # the swap replaced a COMMITTED round's frontier — refresh the
-        # manifest's per-file lineage AND its frontier count so the
-        # snapshot record matches the files on disk. This runs BEFORE the
-        # marker is removed (and is idempotent), so a crash anywhere in
-        # the sequence is completed by _recover_enqueue on the next run —
-        # the marker is the refresh's durability guard too.
-        mf = os.path.join(rdir, "manifest.json")
-        if os.path.exists(marker) and os.path.exists(mf):
-            with open(mf) as f:
-                m = json.load(f)
-            if "files" in m:
+        if os.path.exists(marker):
+            # the swap replaced a COMMITTED round's frontier — refresh
+            # the manifest's per-file lineage AND its frontier count so
+            # the snapshot record matches the files on disk. This runs
+            # BEFORE the marker is removed (and is idempotent), so a
+            # crash anywhere in the sequence is completed by
+            # _recover_enqueue on the next run — the marker is the
+            # refresh's durability guard too.
+            def refresh(m):
                 m["files"]["frontier"] = self._table_files(fdir)
                 total = sum(x["rows"] for x in m["files"]["frontier"])
                 if "metrics" in m:
@@ -842,8 +840,9 @@ class CrawlRun:
                 if m.get("seeded"):
                     m["frontier"] = total
                 m["enqueued"] = True
-                self._write_manifest_json(mf, m)
-        if os.path.exists(marker):
+
+            self._update_manifest(os.path.join(rdir, "manifest.json"),
+                                  refresh)
             os.remove(marker)
         shutil.rmtree(trash, ignore_errors=True)
 
@@ -1051,6 +1050,19 @@ class CrawlRun:
         with open(tmp, "w") as f:
             json.dump(payload, f, indent=1, sort_keys=True)
         os.replace(tmp, path)
+
+    def _update_manifest(self, path: str, mutate) -> None:
+        """Load-mutate-atomically-rewrite a commit manifest's lineage.
+        No-op when the manifest doesn't exist or predates per-file
+        lineage (pre-upgrade checkpoints have no ``files`` section)."""
+        if not os.path.exists(path):
+            return
+        with open(path) as f:
+            m = json.load(f)
+        if "files" not in m:
+            return
+        mutate(m)
+        self._write_manifest_json(path, m)
 
     def _manifest(self, r: int, extra: dict) -> None:
         path = os.path.join(self._round_dir(r), "manifest.json")
