@@ -932,6 +932,24 @@ class CrawlRun:
                 out.append(json.load(f))
         return out
 
+    def lineage_df(self) -> DataFrame:
+        """The per-file lineage as a queryable fact table: one row per
+        (round, state table, data file) with row/byte counts — the
+        Iceberg ``files`` metadata-table role. Built from the commit
+        manifests alone (no state parquet is opened); size is
+        rounds × tables × partitions, monitoring scale, so a driver-side
+        createDataFrame is the right tool."""
+        rows = [
+            (m["round"], table, fo["file"], fo["rows"], fo["bytes"])
+            for m in self.lineage()
+            for table, files in (m.get("files") or {}).items()
+            for fo in files
+        ]
+        return self.spark.createDataFrame(
+            rows, "round int, table string, file string, "
+                  "rows long, bytes long",
+        )
+
     def state_asof(self, r: int, name: str) -> DataFrame:
         """Time-travel read: a state table exactly as committed round
         ``r`` saw it. ``name`` ∈ {frontier, seen_state, host_state,

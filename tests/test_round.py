@@ -1514,3 +1514,27 @@ def test_enqueue_refreshes_manifest_lineage(spark, tmp_path_factory):
     assert sum(x["rows"] for x in m["files"]["frontier"]) == n
     assert m["metrics"]["frontier_next"] == n  # metrics refreshed too
     assert run.state_asof(1, "frontier").count() == n
+
+
+def test_lineage_df_matches_manifests(spark_result):
+    """lineage_df() (the Iceberg files-metadata-table role) agrees with
+    the raw manifests: per-(round, table) row sums match, and a frontier
+    rows-over-rounds query runs as plain DataFrame ops."""
+    from pyspark.sql import functions as _F
+
+    run, _ = spark_result
+    ldf = run.lineage_df()
+    got = {
+        (r["round"], r["table"]): r["n"]
+        for r in ldf.groupBy("round", "table")
+        .agg(_F.sum("rows").alias("n")).collect()
+    }
+    for m in run.lineage():
+        for table, files in m["files"].items():
+            assert got[(m["round"], table)] == sum(f["rows"] for f in files)
+    per_round = (
+        ldf.filter(_F.col("table") == "frontier")
+        .groupBy("round").agg(_F.sum("rows").alias("frontier_rows"))
+        .orderBy("round").collect()
+    )
+    assert per_round[0]["round"] == 0 and len(per_round) == len(run.lineage())
