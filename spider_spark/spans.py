@@ -233,13 +233,23 @@ def extract_outlink_arrays(docs: DataFrame,
     so the per-round join probes the page table and explodes only the
     matched rows AFTER the join. On the per-stage profile this was the
     round's whale: scanning the exploded 10^1.2 edge list per round cost
-    more task-time than everything else combined."""
-    refs = F.filter(
-        "spans",
-        lambda s: s["kind"].isin(*kinds) & (s["media_ref"] != ""),
-    )
+    more task-time than everything else combined.
+
+    Plan shape: the kind/media_ref subfields are read via
+    ``GetArrayStructFields`` (``spans.kind`` / ``spans.media_ref``) and
+    re-zipped, NOT via a lambda over the struct array — Spark's nested
+    schema pruning does not see through higher-order-function lambdas, so
+    the lambda form scans ``struct<kind,text,media_ref,offset>`` with the
+    full page markup in ``text``, while this form prunes the parquet read
+    to ``struct<kind,media_ref>`` (event-log verified: the one-time
+    adjacency materialization was the largest single stage of a crawl at
+    bench scale, and its input bytes are dominated by the text payload a
+    link extractor never needs)."""
+    ks = F.col("spans").getField("kind")
+    rs = F.col("spans").getField("media_ref")
+    hits = F.zip_with(ks, rs, lambda k, r: F.when(k.isin(*kinds) & (r != ""), r))
     links = F.array_distinct(
-        F.array_sort(F.transform(refs, lambda s: s["media_ref"]))
+        F.array_sort(F.filter(hits, lambda x: x.isNotNull()))
     )
     return docs.select(F.col("doc_id"), links.alias("outlinks"))
 
