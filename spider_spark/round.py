@@ -217,14 +217,19 @@ class CrawlRun:
         n_part = spark.sparkContext.defaultParallelism * 2
         # PACKED adjacency: one row per page with its outlink array — the
         # per-round join probes ~links_per_page× fewer rows and the edge
-        # explode runs only on the matched (fetched) pages
+        # explode runs only on the matched (fetched) pages. This ONE cached
+        # table serves both halves of the simulated fetch (L4): row
+        # existence is the fetch result (success ⟺ url is a doc_id) and
+        # the outlinks column is the extraction result, so each round pays
+        # a single shuffle of the admitted set instead of two (fetch join
+        # + extraction join) plus a second cached url table.
+        # dropDuplicates guarantees the at-most-one-fetch-row invariant
+        # even on a malformed docs table with repeated doc_ids; it rides
+        # the repartition exchange (same key), no extra shuffle.
         self.adjacency = (
             extract_outlink_arrays(docs).repartition(n_part, "doc_id")
+            .dropDuplicates(["doc_id"])
             .persist()
-        )
-        self.doc_urls = (
-            docs.select(F.col("doc_id").alias("url"))
-            .repartition(n_part, "url").distinct().persist()
         )
 
     # -- candidate hygiene: one place that turns raw urls into frontier rows
@@ -1146,31 +1151,24 @@ class CrawlRun:
         admitted = adm.filter(F.col("admitted")).drop("admitted")
         carry = adm.filter(~F.col("admitted")).drop("admitted")
 
-        # 3. simulated fetch (L4): success iff the url exists in the
-        #    documents table — a left join, partitioned by the same host
-        #    bucketing at scale.
+        # 3+4. simulated fetch (L4) + outlink extraction (E1-E3) in ONE
+        #    join: the cached adjacency holds exactly one row per document
+        #    (doc_id, outlinks), so row existence IS the fetch result and
+        #    the outlinks array IS the extraction result. One shuffle of
+        #    the admitted set against the pre-partitioned adjacency,
+        #    instead of a fetch join (vs a url table) plus a second
+        #    shuffle of the fetched set into the extraction join.
         fetched = admitted.join(
-            self.doc_urls.withColumn("exists", F.lit(True)), "url", "left"
-        ).withColumn("success", F.coalesce(F.col("exists"), F.lit(False))
-        ).drop("exists").cache()
+            self.adjacency, F.col("url") == F.col("doc_id"), "left"
+        ).withColumn("success", F.col("doc_id").isNotNull()
+        ).drop("doc_id").cache()
 
-        # 4. outlink extraction from fetched pages (E1-E3 over spans).
-        #    Parent depth rides the SAME join — one pass over the packed
-        #    adjacency, edges exploded only for the matched pages.
         new_raw = (
             fetched.filter(F.col("success"))
-            .select(F.col("url").alias("referer_url"),
-                    F.col("depth").alias("pdepth"))
-            .join(
-                self.adjacency,
-                F.col("referer_url") == F.col("doc_id"),
-                "inner",
-            )
-            .select(
-                F.explode("outlinks").alias("url"),
-                (F.col("pdepth") + 1).alias("depth"),
-                F.col("referer_url").alias("referer"),
-            )
+            .select(F.col("url").alias("referer"),
+                    (F.col("depth") + 1).alias("depth"),
+                    F.col("outlinks"))
+            .select(F.explode("outlinks").alias("url"), "depth", "referer")
         )
         # pre-UDF dedupe: many pages link to the same targets, so collapse
         # raw outlinks (min depth / min referer — same rule the frontier
