@@ -990,11 +990,18 @@ class CrawlRun:
             F.min("depth").alias("depth"), F.min("referer").alias("referer"),
             F.max("vip").alias("vip"),
         )
+        cand_cache = None
         if self.spec.frontier_host_cap is not None:
             # round 0 must honor the same per-host bound the merge applies
             # — otherwise a host-concentrated seed list hands the fused
-            # kernel an uncapped Arrow group on the very first round
-            cand = self._cap_frontier(cand, self.spec.frontier_host_cap)
+            # kernel an uncapped Arrow group on the very first round.
+            # persist first: the cap's hot-host count subquery and its two
+            # broadcast-join branches each scan the input, and without the
+            # barrier the whole canonicalize/rules chain re-runs per
+            # consumer (same reason run_round persists nxt — event-log
+            # verified: the seed canonicalize stage ran 3x per bootstrap)
+            cand_cache = cand.persist()
+            cand = self._cap_frontier(cand_cache, self.spec.frontier_host_cap)
         # the frontier count rides the write job (Observation) — a
         # separate cand.count() would re-run the canonicalize UDF /
         # robots / rule chain a second time over the whole seed list
@@ -1004,6 +1011,8 @@ class CrawlRun:
         self._write(
             cand.observe(obs, F.count(F.lit(1)).alias("n")), 0, "frontier"
         )
+        if cand_cache is not None:
+            cand_cache.unpersist()
         self._write(
             self.bloom.init_state(self.spark, self.spec.n_buckets), 0,
             "seen_state",
