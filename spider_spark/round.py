@@ -218,11 +218,11 @@ class CrawlRun:
         # PACKED adjacency: one row per page with its outlink array — the
         # per-round join probes ~links_per_page× fewer rows and the edge
         # explode runs only on the matched (fetched) pages. This ONE cached
-        # table serves both halves of the simulated fetch (L4): row
-        # existence is the fetch result (success ⟺ url is a doc_id) and
-        # the outlinks column is the extraction result, so each round pays
-        # a single shuffle of the admitted set instead of two (fetch join
-        # + extraction join) plus a second cached url table.
+        # table also serves the simulated fetch (L4): its pruned doc_id
+        # column is the url-existence table (see run_round step 3), so no
+        # second cached table is built. The fetch and extraction joins
+        # stay SEPARATE thin joins on purpose — see the run_round step-3
+        # note for the measured anti-fusion tradeoff.
         # dropDuplicates guarantees the at-most-one-fetch-row invariant
         # even on a malformed docs table with repeated doc_ids; it rides
         # the repartition exchange (same key), no extra shuffle.
@@ -1160,24 +1160,42 @@ class CrawlRun:
         admitted = adm.filter(F.col("admitted")).drop("admitted")
         carry = adm.filter(~F.col("admitted")).drop("admitted")
 
-        # 3+4. simulated fetch (L4) + outlink extraction (E1-E3) in ONE
-        #    join: the cached adjacency holds exactly one row per document
-        #    (doc_id, outlinks), so row existence IS the fetch result and
-        #    the outlinks array IS the extraction result. One shuffle of
-        #    the admitted set against the pre-partitioned adjacency,
-        #    instead of a fetch join (vs a url table) plus a second
-        #    shuffle of the fetched set into the extraction join.
+        # 3. simulated fetch (L4): success iff the url is a doc_id. The
+        #    url table is the cached adjacency's doc_id column — the
+        #    columnar cache prunes to that one column and the alias keeps
+        #    its hash partitioning, so this side needs no second cached
+        #    table and no shuffle. Deliberately NOT fused with the
+        #    extraction join: carrying the outlinks array through this
+        #    join fattens the cached fetched table (admitted × fanout
+        #    strings) and makes every round sort the fat adjacency side —
+        #    A/B at local[16]/xlarge showed the fused form ~1.5-2× slower
+        #    (43-47 s vs 58-88 s) despite one fewer shuffle; the two THIN
+        #    joins win at every scale where fanout matters.
+        doc_urls = self.adjacency.select(F.col("doc_id").alias("url"))
         fetched = admitted.join(
-            self.adjacency, F.col("url") == F.col("doc_id"), "left"
-        ).withColumn("success", F.col("doc_id").isNotNull()
-        ).drop("doc_id").cache()
+            doc_urls.withColumn("exists", F.lit(True)), "url", "left"
+        ).withColumn("success", F.coalesce(F.col("exists"), F.lit(False))
+        ).drop("exists").cache()
 
+        # 4. outlink extraction from fetched pages (E1-E3 over spans).
+        #    Parent depth rides the SAME join — one pass over the packed
+        #    adjacency, edges exploded only for the matched pages, and
+        #    the exploded edges stream straight into the dedupe aggregate
+        #    (never cached).
         new_raw = (
             fetched.filter(F.col("success"))
-            .select(F.col("url").alias("referer"),
-                    (F.col("depth") + 1).alias("depth"),
-                    F.col("outlinks"))
-            .select(F.explode("outlinks").alias("url"), "depth", "referer")
+            .select(F.col("url").alias("referer_url"),
+                    F.col("depth").alias("pdepth"))
+            .join(
+                self.adjacency,
+                F.col("referer_url") == F.col("doc_id"),
+                "inner",
+            )
+            .select(
+                F.explode("outlinks").alias("url"),
+                (F.col("pdepth") + 1).alias("depth"),
+                F.col("referer_url").alias("referer"),
+            )
         )
         # pre-UDF dedupe: many pages link to the same targets, so collapse
         # raw outlinks (min depth / min referer — same rule the frontier
