@@ -163,19 +163,25 @@ def lsh_candidates(docs: DataFrame, id_col: str = "doc_id",
     mh = make_minhash_udf(k, shingle, seed)
     sig = docs.select(F.col(id_col).alias("id"),
                       mh(F.col(text_col)).alias("sig"))
+    # band keys built as ONE expression (transform over a band-index
+    # sequence, bucket = hash of the band's sig slice) instead of a
+    # per-band python listcomp of element_at columns: the listcomp form
+    # issued ~2,500 py4j round trips (~0.5-1.5 s of DRIVER time per call,
+    # cProfile-verified) to build an equivalent plan. Executor-side both
+    # forms are one projection; hash(array<long>) is murmur3 over the
+    # elements just like hash(e1..e4), only the bucket VALUES differ —
+    # candidate semantics (same-bucket ⇔ same band slice) are identical.
     banded = sig.select(
         "id",
         F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(bi).alias("band"),
-                    F.hash(
-                        *[F.element_at("sig", bi * rows + ri + 1)
-                          for ri in range(rows)]
-                    ).alias("bucket"),
-                )
-                for bi in range(bands)
-            ])
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.cast("int").alias("band"),
+                    F.hash(F.slice("sig", b * rows + 1, rows))
+                    .alias("bucket"),
+                ),
+            )
         ).alias("bk"),
     ).select("id", "bk.band", "bk.bucket")
     # bucket-local pair expansion instead of a (band, bucket) self-join:

