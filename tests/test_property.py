@@ -164,3 +164,6 @@ def test_session_perf_contract(spark):
     assert conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
     assert conf.get(
         "spark.python.sql.dataFrameDebugging.enabled", "true") == "false"
+    # FAIR keeps the round's four concurrent state-write jobs saturating
+    # the executor instead of queueing behind the earliest job's stages
+    assert spark.sparkContext.getConf().get("spark.scheduler.mode") == "FAIR"
