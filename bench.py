@@ -191,6 +191,14 @@ def main() -> None:
     # the best observed pass — extra passes are pure instrumentation (the
     # reported `value` is the min-sum, never harness wall time)
     n_reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
+    # one untimed warmup pass: on a freshly booted box the first minutes
+    # JIT-compile the whole-stage-codegen classes and fault in the parquet
+    # page cache, and that skew was observed to survive min-of-3 (a
+    # fresh-boot rep measured priority_bands 7.5 s / minhash 13.2 s as
+    # MINIMA; the identical queries settle at 1.5 / 1.4 s once warm) —
+    # pure instrumentation, like the extra reps
+    if os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "1") == "1":
+        run_queries(spark, SF_DIR)
     times = run_queries(spark, SF_DIR)
     for _ in range(n_reps - 1):
         nxt = run_queries(spark, SF_DIR)
