@@ -234,15 +234,18 @@ class CrawlRun:
 
     # -- candidate hygiene: one place that turns raw urls into frontier rows
     def _prepare_candidates(self, urls: DataFrame,
-                            from_code: str = "E") -> DataFrame:
+                            from_code: str = "E",
+                            fast_col: str | None = None) -> DataFrame:
         """canonicalize → rule filter → robots gate → frontier columns.
         ``urls`` needs (url, depth, referer). ``from_code`` is the source
         tag (crawled_resource.proto:41-50): 'U' seeds, 'E' extracted — it
         feeds the VIP flag (P9/J4: VIP rows bypass the seen-drop,
-        mr_selector_r1_reducer.cc:62-108)."""
+        mr_selector_r1_reducer.cc:62-108). ``fast_col`` optionally names a
+        precomputed ``is_canonical`` boolean on ``urls`` (see
+        canonicalize_urls_df)."""
         from .selector import apply_extract_rules, is_vip
 
-        c = urlkit.canonicalize_urls_df(urls, "url")
+        c = urlkit.canonicalize_urls_df(urls, "url", fast_col=fast_col)
         c = c.filter(F.col("url").isNotNull())
         # E3 whitelist gates the canonical url against the referer's rule
         # (extractor.cc:243-252 FullMatch on gurl.spec()) before everything
@@ -1218,10 +1221,17 @@ class CrawlRun:
         # verified: 2×~45 s task time per round at bench scale). The cache
         # is an optimizer barrier — both branches scan the ~10× smaller
         # deduped output instead.
+        # the canonicalizer's fast/slow regex is paid ONCE here, at persist
+        # time, and stored as a boolean: every downstream consumer branch
+        # re-filters the cached rows, and FAST_CANON_RE over the full
+        # deduped set costs real task time per re-eval (event-log measured
+        # ~0.6 µs/row/eval — seconds per round across the merge branches)
         new_raw = new_raw.groupBy("url").agg(
             F.min("depth").alias("depth"), F.min("referer").alias("referer")
+        ).withColumn(
+            "_fast_canon", urlkit.is_canonical(F.col("url"))
         ).persist()
-        new_cand = self._prepare_candidates(new_raw)
+        new_cand = self._prepare_candidates(new_raw, fast_col="_fast_canon")
 
         # 5. next frontier = carry ∪ new, minus just-admitted, deduped by
         #    url keeping min depth (deterministic referer = min by url;

@@ -86,6 +86,17 @@ def _canonicalize_udf(url: pd.Series) -> pd.Series:
     return out.mask(bad)
 
 
+# The kernel is pure; the marker only stops Catalyst from re-extracting the
+# eval per consumer operator. Without it, a Filter on the UDF output and the
+# Project above it EACH get their own ArrowEvalPython node (ExtractPythonUDFs
+# has no cross-operator CSE), so every slow-path row crossed the Arrow
+# boundary twice — event-log verified: the crawl round's frontier-merge stage
+# carried two identical _canonicalize_udf nodes at ~30 s python-worker time
+# each. Nondeterministic expressions cannot be duplicated or pushed through,
+# so the plan keeps exactly one eval.
+_canonicalize_udf = _canonicalize_udf.asNondeterministic()
+
+
 def canonicalize_url(url: Column) -> Column:
     """Canonical "click url": the engine's global document identity.
 
@@ -117,7 +128,8 @@ def is_canonical(url: Column) -> Column:
     return url.rlike(FAST_CANON_RE) & (F.length(url) <= MAX_URL_LEN)
 
 
-def canonicalize_urls_df(df, url_col: str = "url"):
+def canonicalize_urls_df(df, url_col: str = "url",
+                         fast_col: str | None = None):
     """DataFrame-level canonicalizer with a JVM fast path.
 
     Python UDFs inside a WHEN branch are pulled out and evaluated
@@ -129,12 +141,22 @@ def canonicalize_urls_df(df, url_col: str = "url"):
     of the crawl round's biggest stage by ~an order of magnitude, which
     is also what the stage's core-scaling needs (each python stage pairs
     a JVM task thread WITH a python worker process).
+
+    ``fast_col``: name of a precomputed ``is_canonical`` boolean column
+    (dropped from the output). The split filters run once per consumer
+    branch, and ``FAST_CANON_RE`` costs ~0.6 µs/row/eval JVM-side — a
+    caller that persists its input can pay the regex once at persist
+    time and hand the stored boolean to every downstream re-scan.
     """
-    fast = is_canonical(F.col(url_col))
-    a = df.filter(fast)
-    b = df.filter(~fast).withColumn(
-        url_col, _canonicalize_udf(F.col(url_col))
-    )
+    if fast_col is not None:
+        fast = F.col(fast_col)
+        a = df.filter(fast).drop(fast_col)
+        b = df.filter(~fast).drop(fast_col)
+    else:
+        fast = is_canonical(F.col(url_col))
+        a = df.filter(fast)
+        b = df.filter(~fast)
+    b = b.withColumn(url_col, _canonicalize_udf(F.col(url_col)))
     return a.unionByName(b)
 
 
