@@ -1,11 +1,18 @@
 """Multimodal columns: image/audio/video as opaque binary + typed metadata.
 
 The interleaved-docs model (spans with kind ∈ {text, image, …}) extends to
-real media payloads as ``binary`` columns with a metadata struct. The
-decode/resize/frame-sample kernels need codec libraries absent from this
-container, so the *kernels* are stubbed (deterministic fake or
-NotImplementedError) while the Spark-side plumbing — schema, Arrow batch
-shape, mapInPandas partitioning — is real and tested.
+real media payloads as ``binary`` columns with a metadata struct. Image
+decode is REAL for PNG (8-bit gray/RGB/GA/RGBA, all five scanline
+filters), BMP (24-bit BI_RGB), and PPM (P6) — pure stdlib ``zlib`` +
+``struct`` + numpy reference decoders, so ``decode_images`` runs decode →
+box-average resize → per-channel stats end-to-end with no external codec
+library. JPEG/video codecs stay behind the declared
+``NotImplementedError`` extension point (no libjpeg/ffmpeg in this
+container); the Spark-side plumbing — schema, Arrow batch shape,
+mapInPandas partitioning, malformed-payload error rows — is identical for
+both and fully tested. The reference decoders favor clarity over speed
+(per-row filter loops); a production deployment swaps `_decode_image`'s
+per-format table for turbo codecs without touching the operator.
 
 Schema mirrors Resource.content.image_files[] (resource.proto:87-99):
 url + raw bytes + declared format.
@@ -13,8 +20,11 @@ url + raw bytes + declared format.
 
 from __future__ import annotations
 
+import struct
+import zlib
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -69,10 +79,230 @@ def synthetic_media(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
 
 
 def _decode_image_stub(payload: bytes, fmt: str) -> "object":
-    """Real impl would be PIL/opencv decode; absent here by design."""
+    """Extension point for formats needing external codecs (jpeg, webp,
+    …); plug PIL/cv2/turbojpeg here on a cluster that ships them."""
     raise NotImplementedError(
-        "image codec not available in this environment — plug PIL/cv2 here"
+        f"no codec for image format {fmt!r} in this environment — "
+        "plug PIL/cv2 into _DECODERS"
     )
+
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# PNG color type → channel count (8-bit depth only; palette unsupported)
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def _png_unfilter_row(f: int, cur: np.ndarray, prior: np.ndarray,
+                      bpp: int) -> np.ndarray:
+    """Reverse one PNG scanline filter (spec §9: None/Sub/Up/Average/
+    Paeth). cur is the filtered row (uint8), prior the reconstructed row
+    above (zeros for the first row). Sub/Average/Paeth are sequential in
+    the pixel dimension, so those run as per-byte loops — reference
+    clarity over speed."""
+    if f == 0:
+        return cur
+    if f == 2:
+        return (cur.astype(np.int32) + prior).astype(np.uint8)
+    out = cur.astype(np.int32)
+    if f == 1:
+        for i in range(bpp, len(out)):
+            out[i] = (out[i] + out[i - bpp]) & 0xFF
+    elif f == 3:
+        for i in range(len(out)):
+            a = out[i - bpp] if i >= bpp else 0
+            out[i] = (out[i] + ((a + int(prior[i])) >> 1)) & 0xFF
+    elif f == 4:
+        for i in range(len(out)):
+            a = out[i - bpp] if i >= bpp else 0
+            b = int(prior[i])
+            c = int(prior[i - bpp]) if i >= bpp else 0
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            out[i] = (out[i] + pred) & 0xFF
+    else:
+        raise ValueError(f"bad PNG filter type {f}")
+    return out.astype(np.uint8)
+
+
+def _decode_png(payload: bytes) -> np.ndarray:
+    """PNG → (h, w, channels) uint8. Supports bit depth 8, color types
+    0/2/4/6, no interlace (PNG spec, RFC 2083)."""
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG: bad signature")
+    pos, idat, ihdr = 8, [], None
+    while pos + 8 <= len(payload):
+        (length,), ctype = struct.unpack(">I", payload[pos:pos + 4]), \
+            payload[pos + 4:pos + 8]
+        data = payload[pos + 8:pos + 8 + length]
+        if len(data) != length:
+            raise ValueError("truncated PNG chunk")
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # len + type + data + crc
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, color, comp, filt, interlace = ihdr
+    if depth != 8 or color not in _PNG_CHANNELS or interlace != 0 \
+            or comp != 0 or filt != 0:
+        raise ValueError(
+            f"unsupported PNG (depth={depth} color={color} "
+            f"interlace={interlace})")
+    ch = _PNG_CHANNELS[color]
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * ch
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG scanline data size mismatch")
+    rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prior = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        out[y] = _png_unfilter_row(int(rows[y, 0]), rows[y, 1:], prior, ch)
+        prior = out[y].astype(np.int32)
+    return out.reshape(h, w, ch)
+
+
+def _decode_bmp(payload: bytes) -> np.ndarray:
+    """24-bit uncompressed BI_RGB BMP → (h, w, 3) uint8 (RGB order,
+    top-down output regardless of stored row order)."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP: bad magic")
+    (offset,) = struct.unpack("<I", payload[10:14])
+    hdr_size, w, h, planes, bpp, comp = struct.unpack(
+        "<IiihhI", payload[14:34])
+    if hdr_size < 40 or bpp != 24 or comp != 0:
+        raise ValueError(f"unsupported BMP (bpp={bpp} comp={comp})")
+    bottom_up = h > 0
+    h = abs(h)
+    row_bytes = (w * 3 + 3) & ~3  # rows padded to 4 bytes
+    px = payload[offset:offset + row_bytes * h]
+    if len(px) != row_bytes * h:
+        raise ValueError("truncated BMP pixel data")
+    arr = np.frombuffer(px, dtype=np.uint8).reshape(h, row_bytes)
+    arr = arr[:, : w * 3].reshape(h, w, 3)[..., ::-1]  # BGR → RGB
+    return arr[::-1] if bottom_up else arr
+
+
+def _decode_ppm(payload: bytes) -> np.ndarray:
+    """Binary PPM (P6, maxval 255) → (h, w, 3) uint8."""
+    if payload[:2] != b"P6":
+        raise ValueError("not a P6 PPM")
+    # header = magic, width, height, maxval as whitespace-separated
+    # tokens (comments with # allowed), then ONE whitespace byte
+    toks, pos = [], 2
+    while len(toks) < 3:
+        while pos < len(payload) and payload[pos:pos + 1].isspace():
+            pos += 1
+        if payload[pos:pos + 1] == b"#":
+            while pos < len(payload) and payload[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos:pos + 1].isspace():
+            pos += 1
+        toks.append(int(payload[start:pos]))
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = toks
+    if maxval != 255:
+        raise ValueError(f"unsupported PPM maxval {maxval}")
+    px = payload[pos:pos + w * h * 3]
+    if len(px) != w * h * 3:
+        raise ValueError("truncated PPM pixel data")
+    return np.frombuffer(px, dtype=np.uint8).reshape(h, w, 3)
+
+
+_DECODERS = {"png": _decode_png, "bmp": _decode_bmp, "ppm": _decode_ppm}
+
+
+def _decode_image(payload: bytes, fmt: str) -> np.ndarray:
+    dec = _DECODERS.get((fmt or "").lower())
+    if dec is None:
+        return _decode_image_stub(payload, fmt)
+    return dec(payload)
+
+
+def encode_image(arr: np.ndarray, fmt: str) -> bytes:
+    """Encode an (h, w[, ch]) uint8 array — the test-fixture twin of
+    `_decode_image` (PNG uses per-row filters cycling 0-4 so decode
+    exercises every filter path; BMP writes bottom-up 24-bit; PPM P6)."""
+    arr = np.ascontiguousarray(arr, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = arr[..., None]
+    h, w, ch = arr.shape
+    fmt = fmt.lower()
+    if fmt == "png":
+        color = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+        lines = []
+        prior = np.zeros(w * ch, dtype=np.int32)
+        for y in range(h):
+            rawr = arr[y].reshape(-1).astype(np.int32)
+            f = y % 5
+            if f == 0:
+                filt = rawr
+            elif f == 1:
+                a = np.concatenate([np.zeros(ch, np.int32), rawr[:-ch]])
+                filt = rawr - a
+            elif f == 2:
+                filt = rawr - prior
+            elif f == 3:
+                a = np.concatenate([np.zeros(ch, np.int32), rawr[:-ch]])
+                filt = rawr - ((a + prior) >> 1)
+            else:
+                a = np.concatenate([np.zeros(ch, np.int32), rawr[:-ch]])
+                c = np.concatenate([np.zeros(ch, np.int32), prior[:-ch]])
+                p = a + prior - c
+                pa, pb, pc = np.abs(p - a), np.abs(p - prior), np.abs(p - c)
+                pred = np.where((pa <= pb) & (pa <= pc), a,
+                                np.where(pb <= pc, prior, c))
+                filt = rawr - pred
+            lines.append(bytes([f]) + (filt & 0xFF).astype(np.uint8).tobytes())
+            prior = rawr
+
+        def chunk(ctype: bytes, data: bytes) -> bytes:
+            return (struct.pack(">I", len(data)) + ctype + data
+                    + struct.pack(">I", zlib.crc32(ctype + data)))
+
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+        return (_PNG_SIG + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", zlib.compress(b"".join(lines)))
+                + chunk(b"IEND", b""))
+    if fmt == "bmp":
+        if ch != 3:
+            raise ValueError("BMP encoder wants (h, w, 3)")
+        row_bytes = (w * 3 + 3) & ~3
+        pad = b"\x00" * (row_bytes - w * 3)
+        body = b"".join(
+            arr[y, :, ::-1].tobytes() + pad for y in range(h - 1, -1, -1))
+        off = 14 + 40
+        return (b"BM" + struct.pack("<IHHI", off + len(body), 0, 0, off)
+                + struct.pack("<IiihhIIiiII", 40, w, h, 1, 24, 0,
+                              len(body), 2835, 2835, 0, 0) + body)
+    if fmt == "ppm":
+        if ch != 3:
+            raise ValueError("PPM encoder wants (h, w, 3)")
+        return b"P6\n%d %d\n255\n" % (w, h) + arr.tobytes()
+    raise ValueError(f"no encoder for {fmt!r}")
+
+
+def box_resize(arr: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Box-average downsample/upsample to (out_h, out_w, ch) float32 —
+    pure-numpy bin averaging (each output pixel = mean of its source
+    box), the resize kernel behind the thumbnail feature."""
+    h, w = arr.shape[:2]
+    ys = (np.arange(out_h + 1) * h) // out_h
+    xs = (np.arange(out_w + 1) * w) // out_w
+    a = arr.astype(np.float32)
+    out = np.empty((out_h, out_w) + arr.shape[2:], dtype=np.float32)
+    for i in range(out_h):
+        y0, y1 = ys[i], max(ys[i + 1], ys[i] + 1)
+        for j in range(out_w):
+            x0, x1 = xs[j], max(xs[j + 1], xs[j] + 1)
+            out[i, j] = a[y0:y1, x0:x1].mean(axis=(0, 1))
+    return out
 
 
 def _fake_feature(payload: bytes, dim: int = 8) -> list[float]:
@@ -109,6 +339,97 @@ def extract_features(media: DataFrame, dim: int = 8,
             )
 
     return media.mapInPandas(fn, schema=FEATURE_SCHEMA)
+
+
+DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("ok", T.BooleanType(), False),
+        T.StructField("err", T.StringType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("channels", T.IntegerType(), True),
+        T.StructField("chan_mean", T.ArrayType(T.FloatType()), True),
+        T.StructField("thumb", T.ArrayType(T.FloatType()), True),
+    ]
+)
+
+
+def decode_images(media: DataFrame, thumb: int = 8) -> DataFrame:
+    """REAL image decode → resize → feature pipeline over Arrow batches:
+    decode each binary payload (PNG/BMP/PPM reference decoders), compute
+    per-channel means, and box-resize to a (thumb × thumb) grayscale
+    vector. Malformed or unsupported payloads become ok=false rows with
+    the error string — at crawl scale a bad byte-stream must not kill
+    the job. One output row per input row; mapInPandas so each Arrow
+    batch is decoded in one Python call."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, fmt, payload in zip(
+                    pdf["media_id"], pdf["format"], pdf["payload"]):
+                try:
+                    arr = _decode_image(
+                        bytes(payload) if payload is not None else b"", fmt)
+                    gray = arr.astype(np.float32).mean(axis=2)
+                    tb = box_resize(gray[..., None], thumb, thumb)
+                    rows.append({
+                        "media_id": mid, "ok": True, "err": None,
+                        "width": arr.shape[1], "height": arr.shape[0],
+                        "channels": arr.shape[2],
+                        "chan_mean": [round(float(m), 3) for m in
+                                      arr.mean(axis=(0, 1))],
+                        "thumb": [round(float(v), 3) for v in
+                                  tb.reshape(-1)],
+                    })
+                except (ValueError, NotImplementedError, IndexError,
+                        zlib.error, struct.error) as exc:
+                    rows.append({
+                        "media_id": mid, "ok": False,
+                        "err": f"{type(exc).__name__}: {exc}"[:200],
+                        "width": None, "height": None, "channels": None,
+                        "chan_mean": None, "thumb": None,
+                    })
+            yield pd.DataFrame(rows, columns=[f.name for f in DECODED_SCHEMA])
+
+    return media.filter(F.col("kind") == "image").select(
+        "media_id", "format", "payload"
+    ).mapInPandas(fn, schema=DECODED_SCHEMA)
+
+
+def synthetic_image_media(spark: SparkSession, n: int,
+                          seed: int = 42) -> DataFrame:
+    """Deterministic REAL image payloads (PNG/BMP/PPM cycling, seeded
+    numpy gradients + noise) in MEDIA_SCHEMA — distributed generation via
+    mapInPandas, no driver-side loop."""
+    fmts = ["png", "bmp", "ppm"]
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                rng = np.random.default_rng(seed * 1_000_003 + i)
+                h, w = int(rng.integers(4, 24)), int(rng.integers(4, 24))
+                fmt = fmts[i % 3]
+                ch = 4 if (fmt == "png" and i % 6 == 3) else 3
+                grad = (np.add.outer(np.arange(h), np.arange(w))
+                        * 255 // max(h + w - 2, 1))
+                arr = np.clip(
+                    grad[..., None]
+                    + rng.integers(0, 64, (h, w, ch)), 0, 255
+                ).astype(np.uint8)
+                rows.append({
+                    "media_id": f"img{i}", "kind": "image", "format": fmt,
+                    "payload": encode_image(arr, fmt),
+                    "meta": {"width": w, "height": h, "duration_ms": None},
+                })
+            yield pd.DataFrame(
+                rows, columns=["media_id", "kind", "format", "payload",
+                               "meta"])
+
+    return spark.range(n).mapInPandas(gen, schema=MEDIA_SCHEMA)
 
 
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:

@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
@@ -56,4 +57,95 @@ def test_frame_sample_plan(media):
 
 def test_decode_stub_raises():
     with pytest.raises(NotImplementedError):
-        mm._decode_image_stub(b"bytes", "png")
+        mm._decode_image_stub(b"bytes", "jpeg")
+
+
+# --- real codec kernels (PNG/BMP/PPM, pure stdlib + numpy) ---
+
+
+@pytest.mark.parametrize("fmt,ch", [
+    ("png", 1), ("png", 2), ("png", 3), ("png", 4), ("bmp", 3), ("ppm", 3),
+])
+@pytest.mark.parametrize("hw", [(1, 1), (3, 5), (17, 23)])
+def test_codec_round_trip(fmt, ch, hw):
+    # 17 rows × filter cycle 0-4 exercises every PNG scanline filter;
+    # w=5/23 exercise BMP 4-byte row padding
+    h, w = hw
+    rng = np.random.default_rng(hash((fmt, ch, h, w)) % 2**32)
+    arr = rng.integers(0, 256, (h, w, ch)).astype(np.uint8)
+    dec = mm._decode_image(mm.encode_image(arr, fmt), fmt)
+    assert dec.shape == (h, w, ch)
+    assert (dec == arr).all()
+
+
+def test_codec_malformed_payloads():
+    for fmt, bad in [("png", b"nope"), ("png", mm._PNG_SIG + b"\0" * 4),
+                     ("bmp", b"XX"), ("ppm", b"P3 1 1 255 ")]:
+        with pytest.raises((ValueError, IndexError)):
+            mm._decode_image(bad, fmt)
+    with pytest.raises(NotImplementedError):
+        mm._decode_image(b"\xff\xd8...", "jpeg")
+
+
+def test_box_resize_semantics():
+    assert np.allclose(
+        mm.box_resize(np.full((16, 12, 3), 42, np.uint8), 4, 4), 42.0)
+    g = np.arange(64, dtype=np.uint8).reshape(8, 8, 1)
+    assert abs(mm.box_resize(g, 1, 1)[0, 0, 0] - g.mean()) < 1e-4
+    up = mm.box_resize(np.array([[[0], [255]]], np.uint8), 2, 4)
+    assert up.shape == (2, 4, 1)
+    assert np.allclose(up[:, :2, 0], 0) and np.allclose(up[:, 2:, 0], 255)
+
+
+def test_decode_images_end_to_end(spark):
+    media = mm.synthetic_image_media(spark, 24).cache()
+    try:
+        out = mm.decode_images(media, thumb=4)
+        rows = {r["media_id"]: r for r in out.collect()}
+        assert len(rows) == 24
+        metas = {r["media_id"]: r["meta"] for r in media.collect()}
+        for mid, r in rows.items():
+            assert r["ok"], (mid, r["err"])
+            assert (r["width"], r["height"]) == (
+                metas[mid]["width"], metas[mid]["height"])
+            assert r["channels"] in (3, 4)
+            assert len(r["chan_mean"]) == r["channels"]
+            assert len(r["thumb"]) == 16
+            assert all(0.0 <= v <= 255.0 for v in r["thumb"])
+        # determinism across runs (Arrow batch boundaries must not matter)
+        again = {r["media_id"]: r for r in
+                 mm.decode_images(media, thumb=4).collect()}
+        assert {m: r["thumb"] for m, r in rows.items()} == \
+            {m: r["thumb"] for m, r in again.items()}
+    finally:
+        media.unpersist()
+
+
+def test_decode_images_bad_rows_survive(spark):
+    good = mm.synthetic_image_media(spark, 3)
+    bad = spark.createDataFrame(
+        [("badpng", "image", "png", bytearray(b"not a png"), None),
+         ("nojpeg", "image", "jpeg", bytearray(b"\xff\xd8\xff"), None),
+         ("skipme", "video", "mp4", bytearray(b"....."), None)],
+        mm.MEDIA_SCHEMA)
+    out = mm.decode_images(good.unionByName(bad)).collect()
+    by_id = {r["media_id"]: r for r in out}
+    assert "skipme" not in by_id            # non-image rows filtered
+    assert len(by_id) == 5
+    assert not by_id["badpng"]["ok"] and "ValueError" in by_id["badpng"]["err"]
+    assert not by_id["nojpeg"]["ok"] \
+        and "NotImplementedError" in by_id["nojpeg"]["err"]
+    assert all(by_id[f"img{i}"]["ok"] for i in range(3))
+
+
+def test_decode_matches_spark_side_python_twin(spark):
+    """Differential: the Spark mapInPandas output equals a driver-side
+    pure-Python decode of the same payloads."""
+    media = mm.synthetic_image_media(spark, 10, seed=7)
+    spark_rows = {r["media_id"]: r for r in mm.decode_images(media).collect()}
+    for r in media.collect():
+        arr = mm._decode_image(bytes(r["payload"]), r["format"])
+        exp = [round(float(m), 3) for m in arr.mean(axis=(0, 1))]
+        got = spark_rows[r["media_id"]]["chan_mean"]
+        # spark column is float32; compare at that precision
+        assert np.allclose(got, exp, atol=1e-3), (r["media_id"], got, exp)
