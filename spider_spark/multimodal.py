@@ -1,18 +1,20 @@
 """Multimodal columns: image/audio/video as opaque binary + typed metadata.
 
 The interleaved-docs model (spans with kind ∈ {text, image, …}) extends to
-real media payloads as ``binary`` columns with a metadata struct. Image
-decode is REAL for PNG (8-bit gray/RGB/GA/RGBA, all five scanline
-filters), BMP (24-bit BI_RGB), and PPM (P6) — pure stdlib ``zlib`` +
-``struct`` + numpy reference decoders, so ``decode_images`` runs decode →
-box-average resize → per-channel stats end-to-end with no external codec
-library. JPEG/video codecs stay behind the declared
-``NotImplementedError`` extension point (no libjpeg/ffmpeg in this
-container); the Spark-side plumbing — schema, Arrow batch shape,
-mapInPandas partitioning, malformed-payload error rows — is identical for
-both and fully tested. The reference decoders favor clarity over speed
-(per-row filter loops); a production deployment swaps `_decode_image`'s
-per-format table for turbo codecs without touching the operator.
+real media payloads as ``binary`` columns with a metadata struct. Decode
+is REAL for images — PNG (8-bit gray/RGB/GA/RGBA, all five scanline
+filters), BMP (24-bit BI_RGB), PPM (P6) — and audio — RIFF/WAVE integer
+PCM at 8/16/32-bit — via pure stdlib ``zlib`` + ``struct`` + numpy
+reference codecs, so ``decode_images`` (decode → box-average resize →
+per-channel stats) and ``decode_audio`` (decode → RMS / zero-cross /
+envelope) run end-to-end with no external codec library. JPEG/MP3/video
+codecs stay behind the declared ``NotImplementedError`` extension point
+(no libjpeg/ffmpeg in this container); the Spark-side plumbing — schema,
+Arrow batch shape, mapInPandas partitioning, malformed-payload error
+rows — is identical for real and stubbed formats and fully tested. The
+reference decoders favor clarity over speed (per-row filter loops); a
+production deployment swaps the `_DECODERS` table for turbo codecs
+without touching the operators.
 
 Schema mirrors Resource.content.image_files[] (resource.proto:87-99):
 url + raw bytes + declared format.
@@ -303,6 +305,162 @@ def box_resize(arr: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
             x0, x1 = xs[j], max(xs[j + 1], xs[j] + 1)
             out[i, j] = a[y0:y1, x0:x1].mean(axis=(0, 1))
     return out
+
+
+def _decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """RIFF/WAVE PCM → ((n_samples, n_channels) float32 in [-1, 1],
+    sample_rate). Supports format 1 (integer PCM) at 8/16/32-bit — the
+    pure-struct RIFF chunk walk (WAVE spec: RIFF header, fmt  chunk,
+    data chunk; chunks are word-aligned)."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos, fmt_chunk, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        (clen,) = struct.unpack("<I", payload[pos + 4:pos + 8])
+        body = payload[pos + 8:pos + 8 + clen]
+        if cid == b"fmt ":
+            fmt_chunk = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            data = body
+        pos += 8 + clen + (clen & 1)  # chunks are 2-byte aligned
+    if fmt_chunk is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_fmt, n_ch, rate, _byte_rate, _block, bits = fmt_chunk
+    if audio_fmt != 1 or bits not in (8, 16, 32) or n_ch < 1:
+        raise ValueError(
+            f"unsupported WAV (fmt={audio_fmt} bits={bits} ch={n_ch})")
+    if bits == 8:   # 8-bit WAV is unsigned
+        x = (np.frombuffer(data, dtype=np.uint8).astype(np.float32)
+             - 128.0) / 128.0
+    else:
+        dt = np.int16 if bits == 16 else np.int32
+        data = data[: (len(data) // (n_ch * bits // 8)) * n_ch * bits // 8]
+        x = np.frombuffer(data, dtype=dt).astype(np.float32) \
+            / float(2 ** (bits - 1))
+    n = (len(x) // n_ch) * n_ch
+    return x[:n].reshape(-1, n_ch), rate
+
+
+def encode_wav(samples: np.ndarray, rate: int, bits: int = 16) -> bytes:
+    """Encode (n, ch) float32 in [-1, 1] as integer-PCM WAV — the
+    test-fixture twin of `_decode_wav`."""
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    n, ch = samples.shape
+    clipped = np.clip(samples, -1.0, 1.0)
+    if bits == 8:
+        raw = (clipped * 127.0 + 128.0).astype(np.uint8).tobytes()
+    else:
+        dt = np.int16 if bits == 16 else np.int32
+        raw = (clipped * (2 ** (bits - 1) - 1)).astype(dt).tobytes()
+    block = ch * bits // 8
+    fmt = struct.pack("<HHIIHH", 1, ch, rate, rate * block, block, bits)
+    chunks = (b"fmt " + struct.pack("<I", len(fmt)) + fmt
+              + b"data" + struct.pack("<I", len(raw)) + raw
+              + (b"\x00" if len(raw) & 1 else b""))
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("ok", T.BooleanType(), False),
+        T.StructField("err", T.StringType(), True),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("n_channels", T.IntegerType(), True),
+        T.StructField("duration_ms", T.IntegerType(), True),
+        T.StructField("rms", T.FloatType(), True),
+        T.StructField("zero_cross_rate", T.FloatType(), True),
+        T.StructField("envelope", T.ArrayType(T.FloatType()), True),
+    ]
+)
+
+
+def decode_audio(media: DataFrame, envelope_bins: int = 16) -> DataFrame:
+    """REAL audio decode → features over Arrow batches: parse PCM WAV,
+    compute RMS, zero-crossing rate, duration, and a box-averaged
+    |amplitude| envelope (the audio analogue of the image thumbnail).
+    Malformed payloads become ok=false rows. Non-WAV formats hit the
+    codec extension point (NotImplementedError → error row)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, fmt, payload in zip(
+                    pdf["media_id"], pdf["format"], pdf["payload"]):
+                try:
+                    if (fmt or "").lower() != "wav":
+                        raise NotImplementedError(
+                            f"no codec for audio format {fmt!r} — plug "
+                            "soundfile/ffmpeg here")
+                    x, rate = _decode_wav(
+                        bytes(payload) if payload is not None else b"")
+                    if len(x) == 0:
+                        raise ValueError("empty WAV data chunk")
+                    mono = x.mean(axis=1)
+                    signs = np.signbit(mono)
+                    zcr = float(np.count_nonzero(signs[1:] != signs[:-1])) \
+                        / max(len(mono) - 1, 1)
+                    env = box_resize(
+                        np.abs(mono)[:, None, None], envelope_bins, 1
+                    ).reshape(-1)
+                    rows.append({
+                        "media_id": mid, "ok": True, "err": None,
+                        "sample_rate": rate, "n_channels": x.shape[1],
+                        "duration_ms": int(len(x) * 1000 / rate),
+                        "rms": round(float(np.sqrt((mono ** 2).mean())), 6),
+                        "zero_cross_rate": round(zcr, 6),
+                        "envelope": [round(float(v), 6) for v in env],
+                    })
+                except (ValueError, NotImplementedError,
+                        struct.error) as exc:
+                    rows.append({
+                        "media_id": mid, "ok": False,
+                        "err": f"{type(exc).__name__}: {exc}"[:200],
+                        "sample_rate": None, "n_channels": None,
+                        "duration_ms": None, "rms": None,
+                        "zero_cross_rate": None, "envelope": None,
+                    })
+            yield pd.DataFrame(rows, columns=[f.name for f in AUDIO_SCHEMA])
+
+    return media.filter(F.col("kind") == "audio").select(
+        "media_id", "format", "payload"
+    ).mapInPandas(fn, schema=AUDIO_SCHEMA)
+
+
+def synthetic_audio_media(spark: SparkSession, n: int,
+                          seed: int = 42) -> DataFrame:
+    """Deterministic REAL WAV payloads (seeded sine + noise mixtures,
+    varying rate/bits/channels) in MEDIA_SCHEMA — distributed via
+    mapInPandas."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                rng = np.random.default_rng(seed * 9_999_991 + i)
+                rate = [8000, 16000, 44100][i % 3]
+                bits = [16, 32, 8][i % 3]
+                ch = 1 + (i % 2)
+                dur = float(rng.uniform(0.05, 0.3))
+                t = np.arange(int(rate * dur)) / rate
+                freq = float(rng.uniform(100, 2000))
+                wave = 0.6 * np.sin(2 * np.pi * freq * t) \
+                    + 0.1 * rng.standard_normal(len(t))
+                samples = np.stack([wave] * ch, axis=1).astype(np.float32)
+                rows.append({
+                    "media_id": f"aud{i}", "kind": "audio", "format": "wav",
+                    "payload": encode_wav(samples, rate, bits),
+                    "meta": {"width": None, "height": None,
+                             "duration_ms": int(len(t) * 1000 / rate)},
+                })
+            yield pd.DataFrame(
+                rows, columns=["media_id", "kind", "format", "payload",
+                               "meta"])
+
+    return spark.range(n).mapInPandas(gen, schema=MEDIA_SCHEMA)
 
 
 def _fake_feature(payload: bytes, dim: int = 8) -> list[float]:

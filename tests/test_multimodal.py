@@ -138,6 +138,67 @@ def test_decode_images_bad_rows_survive(spark):
     assert all(by_id[f"img{i}"]["ok"] for i in range(3))
 
 
+@pytest.mark.parametrize("rate,bits,ch", [
+    (8000, 8, 1), (16000, 16, 2), (44100, 32, 1),
+])
+def test_wav_round_trip(rate, bits, ch):
+    rng = np.random.default_rng(rate + bits + ch)
+    s = rng.uniform(-0.9, 0.9, (257, ch)).astype(np.float32)
+    x, r = mm._decode_wav(mm.encode_wav(s, rate, bits))
+    assert r == rate and x.shape == s.shape
+    tol = {8: 2 / 127, 16: 2 / 32767, 32: 1e-6}[bits]
+    assert np.abs(x - s).max() < tol
+
+
+def test_decode_audio_end_to_end(spark):
+    media = mm.synthetic_audio_media(spark, 12).cache()
+    try:
+        rows = {r["media_id"]: r for r in mm.decode_audio(media).collect()}
+        assert len(rows) == 12
+        metas = {r["media_id"]: r["meta"]["duration_ms"]
+                 for r in media.collect()}
+        for mid, r in rows.items():
+            assert r["ok"], (mid, r["err"])
+            assert abs(r["duration_ms"] - metas[mid]) <= 1
+            assert 0.0 < r["rms"] < 1.0          # sine+noise mixture
+            assert 0.0 < r["zero_cross_rate"] < 1.0
+            assert len(r["envelope"]) == 16
+            assert all(v >= 0.0 for v in r["envelope"])
+        again = {r["media_id"]: r["envelope"]
+                 for r in mm.decode_audio(media).collect()}
+        assert {m: r["envelope"] for m, r in rows.items()} == again
+    finally:
+        media.unpersist()
+
+
+def test_decode_audio_bad_rows_survive(spark):
+    good = mm.synthetic_audio_media(spark, 2)
+    bad = spark.createDataFrame(
+        [("badwav", "audio", "wav", bytearray(b"RIFF????WAVE"), None),
+         ("nomp3", "audio", "mp3", bytearray(b"ID3....."), None)],
+        mm.MEDIA_SCHEMA)
+    by_id = {r["media_id"]: r
+             for r in mm.decode_audio(good.unionByName(bad)).collect()}
+    assert len(by_id) == 4
+    assert not by_id["badwav"]["ok"] \
+        and "ValueError" in by_id["badwav"]["err"]
+    assert not by_id["nomp3"]["ok"] \
+        and "NotImplementedError" in by_id["nomp3"]["err"]
+    assert by_id["aud0"]["ok"] and by_id["aud1"]["ok"]
+
+
+def test_decode_audio_matches_python_twin(spark):
+    media = mm.synthetic_audio_media(spark, 6, seed=11)
+    spark_rows = {r["media_id"]: r for r in mm.decode_audio(media).collect()}
+    for r in media.collect():
+        x, rate = mm._decode_wav(bytes(r["payload"]))
+        mono = x.mean(axis=1)
+        exp_rms = round(float(np.sqrt((mono ** 2).mean())), 6)
+        got = spark_rows[r["media_id"]]
+        assert got["sample_rate"] == rate
+        assert abs(got["rms"] - exp_rms) < 1e-5
+
+
 def test_decode_matches_spark_side_python_twin(spark):
     """Differential: the Spark mapInPandas output equals a driver-side
     pure-Python decode of the same payloads."""
