@@ -2,12 +2,14 @@
 
 The interleaved-docs model (spans with kind ∈ {text, image, …}) extends to
 real media payloads as ``binary`` columns with a metadata struct. Decode
-is REAL for images — PNG (8-bit gray/RGB/GA/RGBA, all five scanline
-filters), BMP (24-bit BI_RGB), PPM (P6) — and audio — RIFF/WAVE integer
-PCM at 8/16/32-bit — via pure stdlib ``zlib`` + ``struct`` + numpy
-reference codecs, so ``decode_images`` (decode → box-average resize →
-per-channel stats) and ``decode_audio`` (decode → RMS / zero-cross /
-envelope) run end-to-end with no external codec library. JPEG/MP3/video
+is REAL across all three modalities via pure stdlib ``zlib`` +
+``struct`` + numpy reference codecs: images — PNG (8-bit
+gray/RGB/GA/RGBA, all five scanline filters), BMP (24-bit BI_RGB), PPM
+(P6) → ``decode_images`` (decode → box-average resize → per-channel
+stats); audio — RIFF/WAVE integer PCM at 8/16/32-bit → ``decode_audio``
+(RMS / zero-cross / envelope); video — YUV4MPEG2 (C420/C444) →
+``sample_frames`` (O(1)-seek sampled-frame luma thumbnails — a sampler
+at crawl scale must not scan every byte of every video). JPEG/MP3/MP4
 codecs stay behind the declared ``NotImplementedError`` extension point
 (no libjpeg/ffmpeg in this container); the Spark-side plumbing — schema,
 Arrow batch shape, mapInPandas partitioning, malformed-payload error
@@ -463,6 +465,186 @@ def synthetic_audio_media(spark: SparkSession, n: int,
     return spark.range(n).mapInPandas(gen, schema=MEDIA_SCHEMA)
 
 
+def _parse_y4m_header(payload: bytes) -> tuple[dict, int]:
+    """Parse a YUV4MPEG2 stream header → ({w, h, fps_num, fps_den,
+    colorspace}, header_end_offset). Public format: magic + space-
+    separated W/H/F/C tags terminated by 0x0A."""
+    if not payload.startswith(b"YUV4MPEG2"):
+        raise ValueError("not a YUV4MPEG2 stream")
+    nl = payload.find(b"\x0a")
+    if nl < 0:
+        raise ValueError("unterminated Y4M header")
+    hdr = {"colorspace": "420"}
+    for tag in payload[9:nl].split(b" "):
+        if not tag:
+            continue
+        key, val = tag[:1], tag[1:]
+        if key == b"W":
+            hdr["w"] = int(val)
+        elif key == b"H":
+            hdr["h"] = int(val)
+        elif key == b"F":
+            num, den = val.split(b":")
+            hdr["fps_num"], hdr["fps_den"] = int(num), int(den)
+        elif key == b"C":
+            hdr["colorspace"] = val.decode("ascii")
+    if "w" not in hdr or "h" not in hdr or "fps_num" not in hdr:
+        raise ValueError("Y4M header missing W/H/F")
+    return hdr, nl + 1
+
+
+def _y4m_frame_bytes(hdr: dict) -> int:
+    w, h = hdr["w"], hdr["h"]
+    cs = hdr["colorspace"]
+    if cs.startswith("420"):
+        return w * h + 2 * ((w // 2) * (h // 2))
+    if cs.startswith("444"):
+        return 3 * w * h
+    raise ValueError(f"unsupported Y4M colorspace C{cs}")
+
+
+def _decode_y4m_frame(payload: bytes, hdr: dict, start: int,
+                      idx: int) -> np.ndarray:
+    """Extract frame `idx`'s luma (Y) plane as (h, w) uint8 — an O(1)
+    SEEK, not a scan: Y4M frames are fixed-size (`FRAME\\n` marker +
+    planes), so sampled decode touches only the sampled bytes. Frame
+    parameter tags (FRAME Ixyz\\n) are tolerated by scanning the marker
+    line's own newline."""
+    fb = _y4m_frame_bytes(hdr)
+    # fixed-size fast path: marker is exactly b"FRAME\n"
+    pos = start + idx * (6 + fb)
+    marker_end = payload.find(b"\x0a", pos, pos + 128)
+    if payload[pos:pos + 5] != b"FRAME" or marker_end < 0:
+        raise ValueError(f"bad FRAME marker for frame {idx}")
+    data = payload[marker_end + 1:marker_end + 1 + fb]
+    if len(data) != fb:
+        raise ValueError(f"truncated frame {idx}")
+    w, h = hdr["w"], hdr["h"]
+    return np.frombuffer(data[: w * h], dtype=np.uint8).reshape(h, w)
+
+
+def encode_y4m(frames: np.ndarray, fps: int = 25,
+               colorspace: str = "420") -> bytes:
+    """Encode (n_frames, h, w) uint8 luma planes as Y4M (chroma planes
+    written neutral-gray 128) — the test-fixture twin of the frame
+    sampler."""
+    n, h, w = frames.shape
+    if colorspace.startswith("420"):
+        chroma = b"\x80" * (2 * ((w // 2) * (h // 2)))
+    elif colorspace.startswith("444"):
+        chroma = b"\x80" * (2 * w * h)
+    else:
+        raise ValueError(f"unsupported colorspace {colorspace}")
+    out = [b"YUV4MPEG2 W%d H%d F%d:1 Ip A1:1 C%s\x0a"
+           % (w, h, fps, colorspace.encode("ascii"))]
+    for i in range(n):
+        out.append(b"FRAME\x0a")
+        out.append(np.ascontiguousarray(frames[i], dtype=np.uint8)
+                   .tobytes())
+        out.append(chroma)
+    return b"".join(out)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("ok", T.BooleanType(), False),
+        T.StructField("err", T.StringType(), True),
+        T.StructField("frame_idx", T.IntegerType(), True),
+        T.StructField("frame_ts_ms", T.IntegerType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("thumb", T.ArrayType(T.FloatType()), True),
+    ]
+)
+
+
+def sample_frames(media: DataFrame, every_ms: int = 1000,
+                  thumb: int = 8) -> DataFrame:
+    """REAL video frame sampling for Y4M payloads: parse the stream
+    header, compute the sampled frame indices at `every_ms` spacing, and
+    decode ONLY those frames' luma planes (O(1) seek per frame — at
+    crawl scale a sampler must not scan every byte of every video) into
+    box-resized grayscale thumbnails. One output row per sampled frame;
+    malformed payloads and non-Y4M formats (mp4 etc. — the codec
+    extension point) become single ok=false rows."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, fmt, payload in zip(
+                    pdf["media_id"], pdf["format"], pdf["payload"]):
+                try:
+                    if (fmt or "").lower() not in ("y4m", "yuv4mpeg"):
+                        raise NotImplementedError(
+                            f"no codec for video format {fmt!r} — plug "
+                            "ffmpeg/pyav here")
+                    raw = bytes(payload) if payload is not None else b""
+                    hdr, start = _parse_y4m_header(raw)
+                    fb = _y4m_frame_bytes(hdr)
+                    n_frames = (len(raw) - start) // (6 + fb)
+                    if n_frames <= 0:
+                        raise ValueError("Y4M stream has no frames")
+                    fps = hdr["fps_num"] / max(hdr.get("fps_den", 1), 1)
+                    step = max(int(round(every_ms * fps / 1000.0)), 1)
+                    for idx in range(0, n_frames, step):
+                        y = _decode_y4m_frame(raw, hdr, start, idx)
+                        tb = box_resize(y[..., None], thumb, thumb)
+                        rows.append({
+                            "media_id": mid, "ok": True, "err": None,
+                            "frame_idx": idx,
+                            "frame_ts_ms": int(idx * 1000.0 / fps),
+                            "width": hdr["w"], "height": hdr["h"],
+                            "thumb": [round(float(v), 3) for v in
+                                      tb.reshape(-1)],
+                        })
+                except (ValueError, NotImplementedError,
+                        struct.error) as exc:
+                    rows.append({
+                        "media_id": mid, "ok": False,
+                        "err": f"{type(exc).__name__}: {exc}"[:200],
+                        "frame_idx": None, "frame_ts_ms": None,
+                        "width": None, "height": None, "thumb": None,
+                    })
+            yield pd.DataFrame(rows, columns=[f.name for f in FRAME_SCHEMA])
+
+    return media.filter(F.col("kind") == "video").select(
+        "media_id", "format", "payload"
+    ).mapInPandas(fn, schema=FRAME_SCHEMA)
+
+
+def synthetic_video_media(spark: SparkSession, n: int,
+                          seed: int = 42) -> DataFrame:
+    """Deterministic REAL Y4M payloads (seeded moving-gradient luma,
+    varying size/fps/frame count) in MEDIA_SCHEMA."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                rng = np.random.default_rng(seed * 7_777_777 + i)
+                h, w = int(rng.integers(4, 16)) * 2, \
+                    int(rng.integers(4, 16)) * 2
+                fps = [10, 25, 30][i % 3]
+                nf = int(rng.integers(3, 40))
+                base = np.add.outer(np.arange(h), np.arange(w))
+                frames = np.stack([
+                    ((base + 7 * t) % 256).astype(np.uint8)
+                    for t in range(nf)])
+                rows.append({
+                    "media_id": f"vid{i}", "kind": "video", "format": "y4m",
+                    "payload": encode_y4m(frames, fps),
+                    "meta": {"width": w, "height": h,
+                             "duration_ms": int(nf * 1000 / fps)},
+                })
+            yield pd.DataFrame(
+                rows, columns=["media_id", "kind", "format", "payload",
+                               "meta"])
+
+    return spark.range(n).mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
 def _fake_feature(payload: bytes, dim: int = 8) -> list[float]:
     """Deterministic stand-in for an embedding model: bytes → fixed-dim
     float vector via byte-bucket sums (keeps tests meaningful)."""
@@ -591,9 +773,11 @@ def synthetic_image_media(spark: SparkSession, n: int,
 
 
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
-    """Video frame-sampling *plan*: per video row, the frame timestamps a
-    decoder would extract (sequence column); the decode itself is the
-    stubbed kernel. Demonstrates explode-shape without the codec."""
+    """Video frame-sampling *plan* from metadata alone: per video row,
+    the frame timestamps a decoder would extract (sequence column) —
+    the metadata-only companion to `sample_frames`, which actually
+    decodes sampled Y4M frames. Useful when the payload lives elsewhere
+    (media_ref) and only the schedule is needed."""
     return (
         media.filter(F.col("kind") == "video")
         .select(

@@ -199,6 +199,80 @@ def test_decode_audio_matches_python_twin(spark):
         assert abs(got["rms"] - exp_rms) < 1e-5
 
 
+@pytest.mark.parametrize("cs", ["420", "444"])
+def test_y4m_round_trip(cs):
+    rng = np.random.default_rng(len(cs) + ord(cs[1]))
+    frames = rng.integers(0, 256, (9, 6, 8)).astype(np.uint8)
+    enc = mm.encode_y4m(frames, fps=30, colorspace=cs)
+    hdr, start = mm._parse_y4m_header(enc)
+    assert (hdr["w"], hdr["h"], hdr["fps_num"]) == (8, 6, 30)
+    for i in range(9):
+        assert (mm._decode_y4m_frame(enc, hdr, start, i) == frames[i]).all()
+
+
+def test_sample_frames_end_to_end(spark):
+    media = mm.synthetic_video_media(spark, 9).cache()
+    try:
+        out = mm.sample_frames(media, every_ms=200, thumb=4).collect()
+        assert all(r["ok"] for r in out), [r["err"] for r in out
+                                           if not r["ok"]]
+        metas = {r["media_id"]: r["meta"] for r in media.collect()}
+        by_id = {}
+        for r in out:
+            by_id.setdefault(r["media_id"], []).append(r)
+        assert set(by_id) == set(metas)
+        for mid, rows in by_id.items():
+            rows.sort(key=lambda r: r["frame_idx"])
+            assert rows[0]["frame_idx"] == 0        # always samples t=0
+            assert rows[0]["width"] == metas[mid]["width"]
+            assert rows[0]["height"] == metas[mid]["height"]
+            for r in rows:
+                assert len(r["thumb"]) == 16
+                assert r["frame_ts_ms"] <= metas[mid]["duration_ms"]
+            # sampled spacing ≈ every_ms in frame units
+            if len(rows) > 1:
+                steps = {b["frame_idx"] - a["frame_idx"]
+                         for a, b in zip(rows, rows[1:])}
+                assert len(steps) == 1
+    finally:
+        media.unpersist()
+
+
+def test_sample_frames_bad_rows_survive(spark):
+    good = mm.synthetic_video_media(spark, 2)
+    bad = spark.createDataFrame(
+        [("bady4m", "video", "y4m", bytearray(b"YUV4MPEG2 W4\x0a"), None),
+         ("nomp4", "video", "mp4", bytearray(b"\x00\x00ftypmp42"), None)],
+        mm.MEDIA_SCHEMA)
+    out = mm.sample_frames(good.unionByName(bad)).collect()
+    bad_rows = {r["media_id"]: r for r in out if not r["ok"]}
+    assert "ValueError" in bad_rows["bady4m"]["err"]
+    assert "NotImplementedError" in bad_rows["nomp4"]["err"]
+    ok_ids = {r["media_id"] for r in out if r["ok"]}
+    assert ok_ids == {"vid0", "vid1"}
+
+
+def test_sample_frames_matches_python_twin(spark):
+    media = mm.synthetic_video_media(spark, 5, seed=23)
+    spark_rows = [(r["media_id"], r["frame_idx"], tuple(r["thumb"]))
+                  for r in mm.sample_frames(media, every_ms=300).collect()
+                  if r["ok"]]
+    exp = []
+    for r in media.collect():
+        raw = bytes(r["payload"])
+        hdr, start = mm._parse_y4m_header(raw)
+        fb = mm._y4m_frame_bytes(hdr)
+        n_frames = (len(raw) - start) // (6 + fb)
+        fps = hdr["fps_num"] / hdr.get("fps_den", 1)
+        step = max(int(round(300 * fps / 1000.0)), 1)
+        for idx in range(0, n_frames, step):
+            y = mm._decode_y4m_frame(raw, hdr, start, idx)
+            tb = mm.box_resize(y[..., None], 8, 8).reshape(-1)
+            exp.append((r["media_id"], idx,
+                        tuple(np.float32(round(float(v), 3)) for v in tb)))
+    assert sorted(spark_rows) == sorted(exp)
+
+
 def test_decode_matches_spark_side_python_twin(spark):
     """Differential: the Spark mapInPandas output equals a driver-side
     pure-Python decode of the same payloads."""
