@@ -506,10 +506,13 @@ def _y4m_frame_bytes(hdr: dict) -> int:
 def _decode_y4m_frame(payload: bytes, hdr: dict, start: int,
                       idx: int) -> np.ndarray:
     """Extract frame `idx`'s luma (Y) plane as (h, w) uint8 — an O(1)
-    SEEK, not a scan: Y4M frames are fixed-size (`FRAME\\n` marker +
-    planes), so sampled decode touches only the sampled bytes. Frame
-    parameter tags (FRAME Ixyz\\n) are tolerated by scanning the marker
-    line's own newline."""
+    SEEK, not a scan: with plain ``FRAME\\n`` markers every frame record
+    is fixed-size, so sampled decode touches only the sampled bytes.
+    Streams using per-frame parameter tags (``FRAME Ixyz\\n``) would
+    shift the offsets; the marker check detects that and raises (error
+    row upstream) rather than decoding garbage — variable-marker
+    support would need one linear index pass, deliberately not paid
+    here."""
     fb = _y4m_frame_bytes(hdr)
     # fixed-size fast path: marker is exactly b"FRAME\n"
     pos = start + idx * (6 + fb)
