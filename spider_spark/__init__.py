@@ -35,7 +35,9 @@ simhash      64-bit simhash + Manku block-permutation near-dup index
 dedup        exact / minhash-LSH / n-gram-Jaccard / embedding dedup family
 similarity   cosine kernels, brute-force + IVF-lite ANN, hyperplane LSH
 textstats    language ID, quality scoring, token counting, fingerprints
-multimodal   binary media columns + mapInPandas feature plumbing (stub codecs)
+multimodal   binary media columns + real PNG/BMP/PPM/WAV/Y4M decode kernels
+             (decode_images / decode_audio / sample_frames); jpeg/mp3/mp4
+             behind the codec extension point
 simulator    pure-Python reference simulator (correctness oracle for
              crawl ordering + URL-seen set under a seeded politeness budget)
 """

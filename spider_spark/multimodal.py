@@ -151,6 +151,8 @@ def _decode_png(payload: bytes) -> np.ndarray:
     if ihdr is None or not idat:
         raise ValueError("PNG missing IHDR/IDAT")
     w, h, depth, color, comp, filt, interlace = ihdr
+    if w < 1 or h < 1:
+        raise ValueError(f"degenerate PNG dimensions {w}x{h}")
     if depth != 8 or color not in _PNG_CHANNELS or interlace != 0 \
             or comp != 0 or filt != 0:
         raise ValueError(
@@ -182,6 +184,8 @@ def _decode_bmp(payload: bytes) -> np.ndarray:
         raise ValueError(f"unsupported BMP (bpp={bpp} comp={comp})")
     bottom_up = h > 0
     h = abs(h)
+    if w < 1 or h < 1:
+        raise ValueError(f"degenerate BMP dimensions {w}x{h}")
     row_bytes = (w * 3 + 3) & ~3  # rows padded to 4 bytes
     px = payload[offset:offset + row_bytes * h]
     if len(px) != row_bytes * h:
@@ -213,6 +217,8 @@ def _decode_ppm(payload: bytes) -> np.ndarray:
     w, h, maxval = toks
     if maxval != 255:
         raise ValueError(f"unsupported PPM maxval {maxval}")
+    if w < 1 or h < 1:
+        raise ValueError(f"degenerate PPM dimensions {w}x{h}")
     px = payload[pos:pos + w * h * 3]
     if len(px) != w * h * 3:
         raise ValueError("truncated PPM pixel data")
@@ -329,9 +335,10 @@ def _decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     if fmt_chunk is None or data is None:
         raise ValueError("WAV missing fmt/data chunk")
     audio_fmt, n_ch, rate, _byte_rate, _block, bits = fmt_chunk
-    if audio_fmt != 1 or bits not in (8, 16, 32) or n_ch < 1:
+    if audio_fmt != 1 or bits not in (8, 16, 32) or n_ch < 1 or rate < 1:
         raise ValueError(
-            f"unsupported WAV (fmt={audio_fmt} bits={bits} ch={n_ch})")
+            f"unsupported WAV (fmt={audio_fmt} bits={bits} ch={n_ch} "
+            f"rate={rate})")
     if bits == 8:   # 8-bit WAV is unsigned
         x = (np.frombuffer(data, dtype=np.uint8).astype(np.float32)
              - 128.0) / 128.0
@@ -383,52 +390,33 @@ def decode_audio(media: DataFrame, envelope_bins: int = 16) -> DataFrame:
     """REAL audio decode → features over Arrow batches: parse PCM WAV,
     compute RMS, zero-crossing rate, duration, and a box-averaged
     |amplitude| envelope (the audio analogue of the image thumbnail).
-    Malformed payloads become ok=false rows. Non-WAV formats hit the
-    codec extension point (NotImplementedError → error row)."""
+    Malformed payloads become ok=false rows (`_media_map` contract);
+    non-WAV formats hit the codec extension point."""
 
-    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for mid, fmt, payload in zip(
-                    pdf["media_id"], pdf["format"], pdf["payload"]):
-                try:
-                    if (fmt or "").lower() != "wav":
-                        raise NotImplementedError(
-                            f"no codec for audio format {fmt!r} — plug "
-                            "soundfile/ffmpeg here")
-                    x, rate = _decode_wav(
-                        bytes(payload) if payload is not None else b"")
-                    if len(x) == 0:
-                        raise ValueError("empty WAV data chunk")
-                    mono = x.mean(axis=1)
-                    signs = np.signbit(mono)
-                    zcr = float(np.count_nonzero(signs[1:] != signs[:-1])) \
-                        / max(len(mono) - 1, 1)
-                    env = box_resize(
-                        np.abs(mono)[:, None, None], envelope_bins, 1
-                    ).reshape(-1)
-                    rows.append({
-                        "media_id": mid, "ok": True, "err": None,
-                        "sample_rate": rate, "n_channels": x.shape[1],
-                        "duration_ms": int(len(x) * 1000 / rate),
-                        "rms": round(float(np.sqrt((mono ** 2).mean())), 6),
-                        "zero_cross_rate": round(zcr, 6),
-                        "envelope": [round(float(v), 6) for v in env],
-                    })
-                except (ValueError, NotImplementedError,
-                        struct.error) as exc:
-                    rows.append({
-                        "media_id": mid, "ok": False,
-                        "err": f"{type(exc).__name__}: {exc}"[:200],
-                        "sample_rate": None, "n_channels": None,
-                        "duration_ms": None, "rms": None,
-                        "zero_cross_rate": None, "envelope": None,
-                    })
-            yield pd.DataFrame(rows, columns=[f.name for f in AUDIO_SCHEMA])
+    def kernel(mid: str, fmt: str, payload: bytes) -> list[dict]:
+        if (fmt or "").lower() != "wav":
+            raise NotImplementedError(
+                f"no codec for audio format {fmt!r} — plug "
+                "soundfile/ffmpeg here")
+        x, rate = _decode_wav(payload)
+        if len(x) == 0:
+            raise ValueError("empty WAV data chunk")
+        mono = x.mean(axis=1)
+        signs = np.signbit(mono)
+        zcr = float(np.count_nonzero(signs[1:] != signs[:-1])) \
+            / max(len(mono) - 1, 1)
+        env = box_resize(
+            np.abs(mono)[:, None, None], envelope_bins, 1).reshape(-1)
+        return [{
+            "media_id": mid, "ok": True, "err": None,
+            "sample_rate": rate, "n_channels": x.shape[1],
+            "duration_ms": int(len(x) * 1000 / rate),
+            "rms": round(float(np.sqrt((mono ** 2).mean())), 6),
+            "zero_cross_rate": round(zcr, 6),
+            "envelope": [round(float(v), 6) for v in env],
+        }]
 
-    return media.filter(F.col("kind") == "audio").select(
-        "media_id", "format", "payload"
-    ).mapInPandas(fn, schema=AUDIO_SCHEMA)
+    return _media_map(media, "audio", kernel, AUDIO_SCHEMA)
 
 
 def synthetic_audio_media(spark: SparkSession, n: int,
@@ -490,15 +478,25 @@ def _parse_y4m_header(payload: bytes) -> tuple[dict, int]:
             hdr["colorspace"] = val.decode("ascii")
     if "w" not in hdr or "h" not in hdr or "fps_num" not in hdr:
         raise ValueError("Y4M header missing W/H/F")
+    if hdr["w"] < 1 or hdr["h"] < 1 or hdr["fps_num"] < 1 \
+            or hdr.get("fps_den", 1) < 1:
+        raise ValueError(
+            f"degenerate Y4M geometry/rate (W{hdr['w']} H{hdr['h']} "
+            f"F{hdr['fps_num']}:{hdr.get('fps_den', 1)})")
     return hdr, nl + 1
+
+
+# 8-bit colorspaces ONLY, matched exactly: prefix-matching would silently
+# misparse 10/16-bit variants (C420p10 etc.) as half-size 8-bit frames
+_Y4M_420 = {"420", "420jpeg", "420mpeg2", "420paldv"}
 
 
 def _y4m_frame_bytes(hdr: dict) -> int:
     w, h = hdr["w"], hdr["h"]
     cs = hdr["colorspace"]
-    if cs.startswith("420"):
+    if cs in _Y4M_420:
         return w * h + 2 * ((w // 2) * (h // 2))
-    if cs.startswith("444"):
+    if cs == "444":
         return 3 * w * h
     raise ValueError(f"unsupported Y4M colorspace C{cs}")
 
@@ -532,9 +530,9 @@ def encode_y4m(frames: np.ndarray, fps: int = 25,
     written neutral-gray 128) — the test-fixture twin of the frame
     sampler."""
     n, h, w = frames.shape
-    if colorspace.startswith("420"):
+    if colorspace in _Y4M_420:
         chroma = b"\x80" * (2 * ((w // 2) * (h // 2)))
-    elif colorspace.startswith("444"):
+    elif colorspace == "444":
         chroma = b"\x80" * (2 * w * h)
     else:
         raise ValueError(f"unsupported colorspace {colorspace}")
@@ -568,52 +566,38 @@ def sample_frames(media: DataFrame, every_ms: int = 1000,
     header, compute the sampled frame indices at `every_ms` spacing, and
     decode ONLY those frames' luma planes (O(1) seek per frame — at
     crawl scale a sampler must not scan every byte of every video) into
-    box-resized grayscale thumbnails. One output row per sampled frame;
-    malformed payloads and non-Y4M formats (mp4 etc. — the codec
-    extension point) become single ok=false rows."""
+    box-resized grayscale thumbnails. One output row per sampled frame.
+    Malformed payloads and non-Y4M formats (mp4 etc. — the codec
+    extension point) become single ok=false rows, and a mid-stream
+    decode failure discards that video's partial frames (`_media_map`
+    contract: a media item is either fully sampled or errored)."""
 
-    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for mid, fmt, payload in zip(
-                    pdf["media_id"], pdf["format"], pdf["payload"]):
-                try:
-                    if (fmt or "").lower() not in ("y4m", "yuv4mpeg"):
-                        raise NotImplementedError(
-                            f"no codec for video format {fmt!r} — plug "
-                            "ffmpeg/pyav here")
-                    raw = bytes(payload) if payload is not None else b""
-                    hdr, start = _parse_y4m_header(raw)
-                    fb = _y4m_frame_bytes(hdr)
-                    n_frames = (len(raw) - start) // (6 + fb)
-                    if n_frames <= 0:
-                        raise ValueError("Y4M stream has no frames")
-                    fps = hdr["fps_num"] / max(hdr.get("fps_den", 1), 1)
-                    step = max(int(round(every_ms * fps / 1000.0)), 1)
-                    for idx in range(0, n_frames, step):
-                        y = _decode_y4m_frame(raw, hdr, start, idx)
-                        tb = box_resize(y[..., None], thumb, thumb)
-                        rows.append({
-                            "media_id": mid, "ok": True, "err": None,
-                            "frame_idx": idx,
-                            "frame_ts_ms": int(idx * 1000.0 / fps),
-                            "width": hdr["w"], "height": hdr["h"],
-                            "thumb": [round(float(v), 3) for v in
-                                      tb.reshape(-1)],
-                        })
-                except (ValueError, NotImplementedError,
-                        struct.error) as exc:
-                    rows.append({
-                        "media_id": mid, "ok": False,
-                        "err": f"{type(exc).__name__}: {exc}"[:200],
-                        "frame_idx": None, "frame_ts_ms": None,
-                        "width": None, "height": None, "thumb": None,
-                    })
-            yield pd.DataFrame(rows, columns=[f.name for f in FRAME_SCHEMA])
+    def kernel(mid: str, fmt: str, payload: bytes) -> list[dict]:
+        if (fmt or "").lower() not in ("y4m", "yuv4mpeg"):
+            raise NotImplementedError(
+                f"no codec for video format {fmt!r} — plug "
+                "ffmpeg/pyav here")
+        hdr, start = _parse_y4m_header(payload)
+        fb = _y4m_frame_bytes(hdr)
+        n_frames = (len(payload) - start) // (6 + fb)
+        if n_frames <= 0:
+            raise ValueError("Y4M stream has no frames")
+        fps = hdr["fps_num"] / hdr.get("fps_den", 1)
+        step = max(int(round(every_ms * fps / 1000.0)), 1)
+        rows = []
+        for idx in range(0, n_frames, step):
+            y = _decode_y4m_frame(payload, hdr, start, idx)
+            tb = box_resize(y[..., None], thumb, thumb)
+            rows.append({
+                "media_id": mid, "ok": True, "err": None,
+                "frame_idx": idx,
+                "frame_ts_ms": int(idx * 1000.0 / fps),
+                "width": hdr["w"], "height": hdr["h"],
+                "thumb": [round(float(v), 3) for v in tb.reshape(-1)],
+            })
+        return rows
 
-    return media.filter(F.col("kind") == "video").select(
-        "media_id", "format", "payload"
-    ).mapInPandas(fn, schema=FRAME_SCHEMA)
+    return _media_map(media, "video", kernel, FRAME_SCHEMA)
 
 
 def synthetic_video_media(spark: SparkSession, n: int,
@@ -684,6 +668,46 @@ def extract_features(media: DataFrame, dim: int = 8,
     return media.mapInPandas(fn, schema=FEATURE_SCHEMA)
 
 
+# any decode failure becomes an error row — a bad byte-stream must not
+# kill a crawl-scale job. ZeroDivisionError covers degenerate-but-parsed
+# header fields reaching arithmetic; IndexError/zlib/struct cover
+# truncated or corrupt containers.
+_MEDIA_ERRORS = (ValueError, NotImplementedError, IndexError,
+                 ZeroDivisionError, zlib.error, struct.error)
+
+
+def _media_map(media: DataFrame, kind: str, kernel,
+               schema: T.StructType) -> DataFrame:
+    """Shared mapInPandas scaffolding for the per-payload decode
+    operators: filter to `kind`, run ``kernel(media_id, fmt, payload)
+    -> list[row dict]`` per input row inside one try/except, and turn
+    any decode failure into a SINGLE ok=false row carrying the error.
+    The kernel returns its full row list or raises — so a mid-payload
+    failure never leaks partial ok=true rows for that media item."""
+    names = [f.name for f in schema]
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, fmt, payload in zip(
+                    pdf["media_id"], pdf["format"], pdf["payload"]):
+                try:
+                    rows.extend(kernel(
+                        mid, fmt,
+                        bytes(payload) if payload is not None else b""))
+                except _MEDIA_ERRORS as exc:
+                    err_row = dict.fromkeys(names)
+                    err_row.update(
+                        media_id=mid, ok=False,
+                        err=f"{type(exc).__name__}: {exc}"[:200])
+                    rows.append(err_row)
+            yield pd.DataFrame(rows, columns=names)
+
+    return media.filter(F.col("kind") == kind).select(
+        "media_id", "format", "payload"
+    ).mapInPandas(fn, schema=schema)
+
+
 DECODED_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.StringType(), False),
@@ -703,42 +727,23 @@ def decode_images(media: DataFrame, thumb: int = 8) -> DataFrame:
     decode each binary payload (PNG/BMP/PPM reference decoders), compute
     per-channel means, and box-resize to a (thumb × thumb) grayscale
     vector. Malformed or unsupported payloads become ok=false rows with
-    the error string — at crawl scale a bad byte-stream must not kill
-    the job. One output row per input row; mapInPandas so each Arrow
-    batch is decoded in one Python call."""
+    the error string (`_media_map` contract). One output row per input
+    row; mapInPandas so each Arrow batch is decoded in one Python
+    call."""
 
-    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for mid, fmt, payload in zip(
-                    pdf["media_id"], pdf["format"], pdf["payload"]):
-                try:
-                    arr = _decode_image(
-                        bytes(payload) if payload is not None else b"", fmt)
-                    gray = arr.astype(np.float32).mean(axis=2)
-                    tb = box_resize(gray[..., None], thumb, thumb)
-                    rows.append({
-                        "media_id": mid, "ok": True, "err": None,
-                        "width": arr.shape[1], "height": arr.shape[0],
-                        "channels": arr.shape[2],
-                        "chan_mean": [round(float(m), 3) for m in
-                                      arr.mean(axis=(0, 1))],
-                        "thumb": [round(float(v), 3) for v in
-                                  tb.reshape(-1)],
-                    })
-                except (ValueError, NotImplementedError, IndexError,
-                        zlib.error, struct.error) as exc:
-                    rows.append({
-                        "media_id": mid, "ok": False,
-                        "err": f"{type(exc).__name__}: {exc}"[:200],
-                        "width": None, "height": None, "channels": None,
-                        "chan_mean": None, "thumb": None,
-                    })
-            yield pd.DataFrame(rows, columns=[f.name for f in DECODED_SCHEMA])
+    def kernel(mid: str, fmt: str, payload: bytes) -> list[dict]:
+        arr = _decode_image(payload, fmt)
+        gray = arr.astype(np.float32).mean(axis=2)
+        tb = box_resize(gray[..., None], thumb, thumb)
+        return [{
+            "media_id": mid, "ok": True, "err": None,
+            "width": arr.shape[1], "height": arr.shape[0],
+            "channels": arr.shape[2],
+            "chan_mean": [round(float(m), 3) for m in arr.mean(axis=(0, 1))],
+            "thumb": [round(float(v), 3) for v in tb.reshape(-1)],
+        }]
 
-    return media.filter(F.col("kind") == "image").select(
-        "media_id", "format", "payload"
-    ).mapInPandas(fn, schema=DECODED_SCHEMA)
+    return _media_map(media, "image", kernel, DECODED_SCHEMA)
 
 
 def synthetic_image_media(spark: SparkSession, n: int,

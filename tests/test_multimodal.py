@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import struct
+
 import numpy as np
 import pytest
 from pyspark.sql import functions as F
@@ -271,6 +273,49 @@ def test_sample_frames_matches_python_twin(spark):
             exp.append((r["media_id"], idx,
                         tuple(np.float32(round(float(v), 3)) for v in tb)))
     assert sorted(spark_rows) == sorted(exp)
+
+
+def test_degenerate_headers_become_error_rows(spark):
+    """Review regressions: parsed-but-degenerate header fields (fps=0,
+    rate=0, zero dims, 10-bit Y4M) must yield ok=false rows, never
+    NaN stats or a job-killing exception."""
+    frames = np.zeros((2, 4, 4), np.uint8)
+    y4m_f0 = mm.encode_y4m(frames, fps=25).replace(b"F25:1", b"F0:1")
+    y4m_p10 = mm.encode_y4m(frames, fps=25).replace(b"C420", b"C420p10")
+    wav_r0 = mm.encode_wav(np.zeros((8, 1), np.float32), 8000)
+    wav_r0 = wav_r0.replace(struct.pack("<I", 8000),
+                            struct.pack("<I", 0), 1)
+    ppm_w0 = b"P6\n0 5\n255\n"
+    rows = spark.createDataFrame(
+        [("f0", "video", "y4m", bytearray(y4m_f0), None),
+         ("p10", "video", "y4m", bytearray(y4m_p10), None),
+         ("r0", "audio", "wav", bytearray(wav_r0), None),
+         ("w0", "image", "ppm", bytearray(ppm_w0), None)],
+        mm.MEDIA_SCHEMA)
+    out = (mm.sample_frames(rows).collect()
+           + mm.decode_audio(rows).collect()
+           + mm.decode_images(rows).collect())
+    assert len(out) == 4
+    for r in out:
+        assert not r["ok"], (r["media_id"], r)
+        assert "ValueError" in r["err"]
+
+
+def test_mid_stream_failure_drops_partial_frames(spark):
+    """A Y4M stream whose frame 0 decodes but whose later markers are
+    misaligned (parameterized FRAME tags) must emit ONE error row — not
+    a mix of ok frames and an error for the same media_id."""
+    frames = np.full((3, 4, 4), 9, np.uint8)
+    good = mm.encode_y4m(frames, fps=25)
+    # grow frame 1's marker: offsets shift for every later frame
+    broken = good.replace(b"FRAME\x0a", b"FRAME Ip\x0a", 2)
+    broken = broken.replace(b"FRAME Ip\x0a", b"FRAME\x0a", 1)
+    rows = spark.createDataFrame(
+        [("part", "video", "y4m", bytearray(broken), None)],
+        mm.MEDIA_SCHEMA)
+    out = mm.sample_frames(rows, every_ms=1).collect()
+    assert len(out) == 1 and not out[0]["ok"]
+    assert "ValueError" in out[0]["err"]
 
 
 def test_decode_matches_spark_side_python_twin(spark):
