@@ -993,6 +993,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return out.select("vec_id", F.round("cosine", 4).alias("cosine"))
 
+    def ann_lsh(spark, sf):
+        """LSH-bucketed ANN top-10, probe-all config: hamming_probe ==
+        n_planes probes every hyperplane-sign bucket, so the result is
+        exactly the brute-force top-k and the DuckDB oracle checks the
+        whole LSH machinery (plane signs, bucket keys, probe-set filter,
+        final top-k). Partial-probe recall + pruning are the pytest
+        differential (tests/test_similarity.py)."""
+        e = _t(spark, sf, "embeddings").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+        )
+        qrow = e.filter(F.col("vec_id") == 0).select("embedding").first()
+        out = similarity.knn_lsh(
+            e.filter(F.col("vec_id") != 0), list(qrow["embedding"]),
+            k=10, n_planes=6, hamming_probe=6,
+        )
+        return out.select("vec_id", F.round("cosine", 4).alias("cosine"))
+
     return {
         "uv_scores": uv_scores,
         "host_stat": host_stat,
@@ -1029,6 +1046,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_cosine": knn_cosine,
         "outlink_extract": outlink_extract,
         "ann_ivf": ann_ivf,
+        "ann_lsh": ann_lsh,
         "proxy_route": proxy_route,
         "ip_load": ip_load,
         "url_transforms": url_transforms,
@@ -1720,4 +1738,7 @@ def oracle_sql() -> dict[str, str]:
     # the star-CC variant must produce the identical cluster table — the
     # two Spark algorithms share one DuckDB oracle
     sql["dedup_clusters_star"] = sql["dedup_clusters"]
+    # probe-all LSH ANN == probe-all IVF ANN == brute-force top-k — all
+    # three scale paths share the one exact-cosine oracle
+    sql["ann_lsh"] = sql["ann_ivf"]
     return sql

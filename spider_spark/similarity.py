@@ -11,6 +11,10 @@
   partitions at query time.
 - :func:`hyperplane_bucket` — random-hyperplane LSH bucket key for
   pair-style joins (used by dedup.embedding_near_duplicates).
+- :func:`knn_lsh` — LSH-bucketed scale path: rows keyed by their
+  hyperplane sign bucket (write-time partition key at scale), the query
+  multi-probing only the buckets within a small Hamming radius of its
+  own bucket.
 """
 
 from __future__ import annotations
@@ -81,6 +85,55 @@ def hyperplane_bucket(vec: Column, emb: DataFrame, n_planes: int = 16,
         bit = F.when(dot_expr(vec, p) >= 0, F.lit(1)).otherwise(F.lit(0))
         bucket = bucket * 2 + bit
     return bucket
+
+
+def knn_lsh(emb: DataFrame, query_vec: list[float], k: int = 10,
+            n_planes: int = 6, hamming_probe: int = 1,
+            id_col: str = "vec_id", vec_col: str = "embedding",
+            seed: int = 42) -> DataFrame:
+    """LSH-bucketed approximate top-k: every row keyed by its hyperplane
+    sign bucket, the query probing only buckets within ``hamming_probe``
+    bit flips of its own bucket (multi-probe LSH: a near neighbor
+    disagrees with the query on few hyperplane signs, so the low-Hamming
+    buckets hold almost all of the true top-k; for cosine θ each sign
+    bit flips with probability θ/π).
+
+    ``hamming_probe >= n_planes`` probes every bucket → exactly the
+    brute-force top-k (the driver-oracle config; partial-probe recall is
+    the pytest differential).
+
+    Scale: the bucket is data-independent (no centroid sample, no join —
+    the planes are literals folded into the plan), so at 100 TB it is
+    computed once at write time and used as the table's partition key; a
+    query then scans Σ_{d≤h} C(n_planes,d) / 2^n_planes of the data via
+    partition pruning, and the probe-set filter below pushes down to the
+    scan. The final top-k is TakeOrdered (per-partition heap + driver
+    merge), never a full sort."""
+    from itertools import combinations
+
+    qv = np.asarray(query_vec, dtype=float)
+    planes = _deterministic_planes(len(qv), n_planes, seed)
+    qbits = planes @ qv >= 0
+    qbucket = 0
+    for b in qbits:
+        qbucket = qbucket * 2 + int(b)
+    h = min(hamming_probe, n_planes)
+    # hyperplane_bucket packs plane i at bit position (n_planes-1-i)
+    probe = [
+        qbucket ^ sum(1 << (n_planes - 1 - f) for f in flips)
+        for d in range(h + 1)
+        for flips in combinations(range(n_planes), d)
+    ]
+    bucket = hyperplane_bucket(F.col(vec_col), emb, n_planes=n_planes,
+                               seed=seed, dim=len(qv))
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        emb.withColumn("_bucket", bucket)
+        .filter(F.col("_bucket").isin(probe))
+        .select(F.col(id_col), cosine_expr(F.col(vec_col), q).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
 
 
 def knn_ivf(emb: DataFrame, query_vec: list[float], k: int = 10,

@@ -48,6 +48,61 @@ def test_knn_ivf_recall(emb, query):
     assert len(exact & approx) >= 7
 
 
+def test_knn_lsh_probe_all_is_exact(emb, query):
+    """hamming_probe >= n_planes probes every bucket, so the LSH path must
+    reproduce the brute-force top-k exactly (the driver-oracle config)."""
+    exact = sim.knn_brute(emb, query, k=10).collect()
+    lsh = sim.knn_lsh(emb, query, k=10, n_planes=6,
+                      hamming_probe=6).collect()
+    assert [r["vec_id"] for r in lsh] == [r["vec_id"] for r in exact]
+    for a, b in zip(lsh, exact):
+        assert abs(a["cosine"] - b["cosine"]) < 1e-9
+
+
+def test_knn_lsh_partial_probe_recall_and_pruning(spark):
+    """A small Hamming radius must (a) scan strictly fewer rows than the
+    corpus and (b) still recover most of the TRUE near neighbors — for
+    cosine ~0.95 each sign bit flips with p ≈ 0.1, so planted neighbors
+    concentrate in the low-Hamming buckets (random far vectors, θ ≈ 60°,
+    do not — which is the pruning). The module fixture has no real
+    neighbors (top cosines ~0.5), so this test plants its own."""
+    rng = np.random.RandomState(7)
+    q = rng.normal(size=24)
+    planted = [q + 0.18 * rng.normal(size=24) for _ in range(10)]
+    noise = rng.normal(size=(190, 24))
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(planted)] + [
+        (100 + i, [float(x) for x in v]) for i, v in enumerate(noise)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    query = [float(x) for x in q]
+    exact = [r["vec_id"] for r in sim.knn_brute(emb, query, k=10).collect()]
+    assert set(exact) == set(range(10))  # the planted rows ARE the top-10
+    approx = {
+        r["vec_id"]
+        for r in sim.knn_lsh(emb, query, k=10, n_planes=6,
+                             hamming_probe=2).collect()
+    }
+    assert len(set(exact) & approx) >= 8
+    # pruning is real: rebuild the probe set (same construction as
+    # knn_lsh) and check it admits a strict fraction of the corpus
+    from itertools import combinations
+
+    planes = sim._deterministic_planes(24, 6, 42)
+    qbits = planes @ q >= 0
+    qbucket = 0
+    for b in qbits:
+        qbucket = qbucket * 2 + int(b)
+    probe = [
+        qbucket ^ sum(1 << (5 - f) for f in flips)
+        for d in range(3) for flips in combinations(range(6), d)
+    ]  # C(6,0)+C(6,1)+C(6,2) = 22 of 64 keys
+    bucket = sim.hyperplane_bucket(F.col("embedding"), emb, n_planes=6)
+    probed_rows = (
+        emb.withColumn("b", bucket).filter(F.col("b").isin(probe)).count()
+    )
+    assert probed_rows < emb.count()
+
+
 def test_hyperplane_bucket_groups_identical_vectors(spark, emb):
     doubled = emb.unionByName(
         emb.select((F.col("vec_id") + 1000).alias("vec_id"), "embedding")
