@@ -120,6 +120,27 @@ class RoundSpec:
     # rows are dropped (re-extraction rediscovers them); order kept is
     # (vip desc, depth asc, url asc) — VIPs always survive the cut.
     seed: int = 42
+    compress_round_caches: bool = False  # in-memory columnar compression
+    # for the PER-ROUND caches (probed frontier, fetched batch, deduped
+    # outlinks, merged next frontier, bootstrap candidates). These are
+    # round-snapshot-scale — O(frontier + batch) rows of short strings,
+    # ~150 B/row, i.e. ~1.5 TB uncompressed at a 10^10-URL frontier ≈
+    # 1.5 GB/executor on the 1000-executor target — so memory is not the
+    # binding constraint for them, and default-off skips the dict/RLE
+    # codec CPU on their many per-round consumer scans. Measured effect
+    # on the local box: WITHIN NOISE (7 alternating cold-JVM pairs at
+    # cpus=32/large split 2/2/2 with one outlier each way) — the default
+    # is chosen on the executor-memory argument, not a measured win.
+    # The corpus-scale adjacency cache is governed separately
+    # (compress_adjacency_cache below): that is where compression buys
+    # real memory headroom. Set True for memory-constrained executors.
+    compress_adjacency_cache: bool = True  # columnar compression for the
+    # corpus-scale packed-adjacency cache (one row per page with its
+    # outlink array, scanned twice per round by the fetch/extraction
+    # joins). Default ON: at 10^11 edges the array column is ~6 TB raw
+    # and dict/RLE over repeated host prefixes is the difference between
+    # caching it and spilling it. Flip False on memory-rich clusters to
+    # trade that headroom for codec CPU on the two per-round scans.
 
 
 def score_expr(depth, uv=None):
@@ -226,11 +247,39 @@ class CrawlRun:
         # dropDuplicates guarantees the at-most-one-fetch-row invariant
         # even on a malformed docs table with repeated doc_ids; it rides
         # the repartition exchange (same key), no extra shuffle.
-        self.adjacency = (
+        adjacency = (
             extract_outlink_arrays(docs).repartition(n_part, "doc_id")
             .dropDuplicates(["doc_id"])
-            .persist()
         )
+        if spec.compress_adjacency_cache:
+            self.adjacency = adjacency.persist()
+        else:
+            key = "spark.sql.inMemoryColumnarStorage.compressed"
+            prev = spark.conf.get(key)
+            spark.conf.set(key, "false")
+            try:
+                self.adjacency = adjacency.persist()
+            finally:
+                spark.conf.set(key, prev)
+
+    def _persist_round(self, df: DataFrame) -> DataFrame:
+        """Persist a per-round cache honoring ``spec.compress_round_caches``.
+        The columnar-compression conf is read at cache-BUILD time, so
+        toggling it around ``.persist()`` scopes the choice to this one
+        cache (verified: two caches built under opposite settings in one
+        session report ~28× different memSize); the finally-restore keeps
+        the session default — which the corpus-scale adjacency cache uses
+        — untouched even if plan analysis throws."""
+        if self.spec.compress_round_caches:
+            return df.persist()
+        spark = df.sparkSession
+        key = "spark.sql.inMemoryColumnarStorage.compressed"
+        prev = spark.conf.get(key)
+        spark.conf.set(key, "false")
+        try:
+            return df.persist()
+        finally:
+            spark.conf.set(key, prev)
 
     # -- candidate hygiene: one place that turns raw urls into frontier rows
     def _prepare_candidates(self, urls: DataFrame,
@@ -1014,7 +1063,7 @@ class CrawlRun:
             # barrier the whole canonicalize/rules chain re-runs per
             # consumer (same reason run_round persists nxt — event-log
             # verified: the seed canonicalize stage ran 3x per bootstrap)
-            cand_cache = cand.persist()
+            cand_cache = self._persist_round(cand)
             cand = self._cap_frontier(cand_cache, self.spec.frontier_host_cap)
         # the frontier count rides the write job (Observation) — a
         # separate cand.count() would re-run the canonicalize UDF /
@@ -1170,7 +1219,7 @@ class CrawlRun:
             )
         if self.host_ips is not None and self.ip_budgets is not None:
             adm = pol.ip_cap_admitted(adm, self.host_ips, self.ip_budgets)
-        adm = adm.cache()
+        adm = self._persist_round(adm)
         admitted = adm.filter(F.col("admitted")).drop("admitted")
         carry = adm.filter(~F.col("admitted")).drop("admitted")
 
@@ -1186,10 +1235,13 @@ class CrawlRun:
         #    (43-47 s vs 58-88 s) despite one fewer shuffle; the two THIN
         #    joins win at every scale where fanout matters.
         doc_urls = self.adjacency.select(F.col("doc_id").alias("url"))
-        fetched = admitted.join(
-            doc_urls.withColumn("exists", F.lit(True)), "url", "left"
-        ).withColumn("success", F.coalesce(F.col("exists"), F.lit(False))
-        ).drop("exists").cache()
+        fetched = self._persist_round(
+            admitted.join(
+                doc_urls.withColumn("exists", F.lit(True)), "url", "left"
+            ).withColumn(
+                "success", F.coalesce(F.col("exists"), F.lit(False))
+            ).drop("exists")
+        )
 
         # 4. outlink extraction from fetched pages (E1-E3 over spans).
         #    Parent depth rides the SAME join — one pass over the packed
@@ -1226,11 +1278,14 @@ class CrawlRun:
         # re-filters the cached rows, and FAST_CANON_RE over the full
         # deduped set costs real task time per re-eval (event-log measured
         # ~0.6 µs/row/eval — seconds per round across the merge branches)
-        new_raw = new_raw.groupBy("url").agg(
-            F.min("depth").alias("depth"), F.min("referer").alias("referer")
-        ).withColumn(
-            "_fast_canon", urlkit.is_canonical(F.col("url"))
-        ).persist()
+        new_raw = self._persist_round(
+            new_raw.groupBy("url").agg(
+                F.min("depth").alias("depth"),
+                F.min("referer").alias("referer")
+            ).withColumn(
+                "_fast_canon", urlkit.is_canonical(F.col("url"))
+            )
+        )
         new_cand = self._prepare_candidates(new_raw, fast_col="_fast_canon")
 
         # 5. next frontier = carry ∪ new, minus just-admitted, deduped by
@@ -1261,7 +1316,7 @@ class CrawlRun:
             # included) recomputes per consumer — exchange reuse does not
             # cover the broadcast subquery here — and the round is ~30%
             # slower at cpus=32 (29-30 s vs 37-49 s on the large web).
-            nxt_cache = nxt.persist()
+            nxt_cache = self._persist_round(nxt)
             nxt = self._cap_frontier(nxt_cache, self.spec.frontier_host_cap)
 
         # 6. state updates. Recrawl TTL (scheduler.cc:381-393): the seen

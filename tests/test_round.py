@@ -78,6 +78,31 @@ def test_seen_set_matches_simulator(spark_result, sim_result):
     assert run.seen_urls() == sim_result["seen"]
 
 
+def test_round_cache_compression_knob(spark, world, sim_result,
+                                      tmp_path_factory):
+    """compress_round_caches must not change any crawl output, and the
+    helper must restore the session's columnar-compression conf (the
+    corpus-scale adjacency cache and user queries rely on the session
+    default) even though the per-round caches are built with it off."""
+    docs, robots, _, _ = world
+    key = "spark.sql.inMemoryColumnarStorage.compressed"
+    assert spark.conf.get(key) == "true"
+    for compress in (False, True):
+        ck = str(tmp_path_factory.mktemp(f"ck_comp_{compress}"))
+        run = CrawlRun(
+            spark, docs, robots, ck,
+            RoundSpec(n_buckets=8, max_depth=3, max_rounds=10,
+                      politeness=PSPEC, compress_round_caches=compress),
+        )
+        seeds_df = spark.createDataFrame([(u,) for u in SEEDS], "url string")
+        res = run.run(seeds_df)
+        rounds = [r["admitted_urls"] for r in res]
+        while rounds and not rounds[-1]:
+            rounds.pop()
+        assert rounds == sim_result["rounds"]
+        assert spark.conf.get(key) == "true"  # restored either way
+
+
 def test_resume_from_checkpoint(spark, world, tmp_path_factory):
     """Donelist-protocol resume (link_merge.sh:30-57 role): a fresh driver
     resuming mid-crawl must end at the same seen set as an uninterrupted

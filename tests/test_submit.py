@@ -59,3 +59,117 @@ def test_spark_submit_py_files(spark, tmp_path):
     assert m["metrics"]["admitted"] > 0
     assert sum(x["rows"] for x in m["files"]["frontier"]) == m["metrics"][
         "frontier_next"]
+
+
+def test_spark_submit_dedup_job(spark, tmp_path):
+    """The dedup pipeline runs via the same --py-files contract: exact
+    pre-pass + minhash near-dup + cluster resolution over a corpus with
+    planted exact and near duplicates."""
+    base = [
+        " ".join(f"tok{i}_{j}" for j in range(30)) for i in range(12)
+    ]
+    rows = [(f"doc{i:03d}", t) for i, t in enumerate(base)]
+    # exact dups of doc000 (collapse in the pre-pass)
+    rows += [("doc900", base[0]), ("doc901", base[0])]
+    # near-dup chain of doc001: one token changed per copy — pairwise
+    # jaccard far above 0.5, so a~b and b~c must collapse to ONE survivor
+    toks = base[1].split()
+    rows += [
+        ("doc910", " ".join(toks[:-1] + ["changedA"])),
+        ("doc911", " ".join(toks[:-2] + ["changedA", "changedB"])),
+    ]
+    docs_dir = str(tmp_path / "docs")
+    spark.createDataFrame(rows, "doc_id string, text string").write.parquet(
+        docs_dir)
+
+    zip_path = shutil.make_archive(
+        str(tmp_path / "spider_spark"), "zip",
+        root_dir=REPO, base_dir="spider_spark",
+    )
+    submit = os.path.join(os.path.dirname(pyspark.__file__),
+                          "bin", "spark-submit")
+    env = dict(os.environ)
+    env.pop("PYTHONPATH", None)
+    env["PYSPARK_PYTHON"] = sys.executable
+    out_dir = str(tmp_path / "out")
+    out = subprocess.run(
+        [submit, "--master", "local[2]",
+         "--conf", "spark.sql.shuffle.partitions=4",
+         "--conf", "spark.ui.enabled=false",
+         "--py-files", zip_path,
+         os.path.join(REPO, "jobs", "dedup_job.py"),
+         "--docs", docs_dir, "--out", out_dir,
+         "--method", "minhash", "--threshold", "0.5"],
+        env=env, cwd=str(tmp_path), capture_output=True, text=True,
+        timeout=600,
+    )
+    assert out.returncode == 0, out.stderr[-3000:]
+    line = json.loads(out.stdout.strip().splitlines()[-1])
+    assert line["n_docs"] == 16
+    assert line["exact_kept"] == 14            # doc900/doc901 collapsed
+    assert line["kept"] == 12                  # near chain → one survivor
+    kept_ids = {
+        r["doc_id"]
+        for r in spark.read.parquet(out_dir + "/kept").collect()
+    }
+    assert "doc001" in kept_ids                # min-id canonical survivor
+    assert {"doc900", "doc901", "doc910", "doc911"}.isdisjoint(kept_ids)
+    clusters = {
+        r["id"]: r["keep_id"]
+        for r in spark.read.parquet(out_dir + "/near_clusters").collect()
+    }
+    assert clusters["doc910"] == "doc001"
+    assert clusters["doc911"] == "doc001"
+
+
+def test_spark_submit_signals_job(spark, tmp_path):
+    """The log-analysis signal pipeline runs via the same contract and
+    reproduces the ComputeUV weight semantics: per-(user,url) max weight
+    across sources, summed per url."""
+    pv_dir = str(tmp_path / "pv")
+    spark.createDataFrame(
+        [("u1", 1, "http://a.example.com/"),
+         ("u1", 2, "http://a.example.com/"),   # dup view: capped per user
+         ("u2", 3, "http://b.example.com/")],
+        "uid string, ts long, url string",
+    ).write.parquet(pv_dir)
+    search_dir = str(tmp_path / "search")
+    spark.createDataFrame(
+        [("u1", 5, "http://s.example.com/q1", "http://a.example.com/"),
+         ("u3", 6, "http://s.example.com/q2", None)],
+        "uid string, ts long, url string, click_url string",
+    ).write.parquet(search_dir)
+
+    zip_path = shutil.make_archive(
+        str(tmp_path / "spider_spark"), "zip",
+        root_dir=REPO, base_dir="spider_spark",
+    )
+    submit = os.path.join(os.path.dirname(pyspark.__file__),
+                          "bin", "spark-submit")
+    env = dict(os.environ)
+    env.pop("PYTHONPATH", None)
+    env["PYSPARK_PYTHON"] = sys.executable
+    out_dir = str(tmp_path / "signals")
+    out = subprocess.run(
+        [submit, "--master", "local[2]",
+         "--conf", "spark.sql.shuffle.partitions=4",
+         "--conf", "spark.ui.enabled=false",
+         "--py-files", zip_path,
+         os.path.join(REPO, "jobs", "signals_job.py"),
+         "--pv", pv_dir, "--search", search_dir, "--out", out_dir],
+        env=env, cwd=str(tmp_path), capture_output=True, text=True,
+        timeout=600,
+    )
+    assert out.returncode == 0, out.stderr[-3000:]
+    line = json.loads(out.stdout.strip().splitlines()[-1])
+    got = {r["url"]: r["uv"]
+           for r in spark.read.parquet(out_dir).collect()}
+    # a: u1 max(default 1.0, search_click 10.0) = 10; b: u2 default 1.0;
+    # each search page: one user at search_log 2.0
+    assert got == {"http://a.example.com/": 10.0,
+                   "http://b.example.com/": 1.0,
+                   "http://s.example.com/q1": 2.0,
+                   "http://s.example.com/q2": 2.0}
+    assert line["urls"] == 4 and abs(line["uv_sum"] - 15.0) < 1e-9
+    # the output is exactly the shape crawl_job --signals consumes
+    assert set(spark.read.parquet(out_dir).columns) == {"url", "uv"}
