@@ -2,7 +2,8 @@
 
     spark-submit --master <master> --py-files spider_spark.zip \
         jobs/dedup_job.py --docs <parquet dir> --out <dir> \
-        [--method minhash|simhash|exact] [--threshold 0.8] \
+        [--method minhash|simhash|embedding|exact] [--threshold 0.8] \
+        [--embeddings <parquet>] [--cosine-threshold 0.95] \
         [--algorithm label|star] [--from-spans]
 
 Runs the full training-data dedup flow over a documents table:
@@ -11,8 +12,11 @@ Runs the full training-data dedup flow over a documents table:
    is also what keeps the near-dup bucket joins out of their degenerate
    quadratic case (identical docs share every band/block key);
 2. near-dup pair mining on the exact survivors — MinHash-LSH bands with
-   exact n-gram-Jaccard verify (``--method minhash``) or simhash64 with
-   Manku block tables and a bit_count hamming gate (``--method simhash``);
+   exact n-gram-Jaccard verify (``--method minhash``), simhash64 with
+   Manku block tables and a bit_count hamming gate (``--method simhash``),
+   or banded hyperplane-LSH cosine over an embedding table sharing the
+   docs id space (``--method embedding``, pair endpoints remapped through
+   the exact pass's keep mapping);
 3. connected-component resolution of the pairs into keep/drop clusters
    (min-label propagation, or ``--algorithm star`` for the O(log n)-round
    large-star/small-star variant on unknown-diameter pair graphs);
@@ -44,8 +48,15 @@ def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--docs", required=True, help="documents parquet")
     p.add_argument("--out", required=True, help="output root dir")
-    p.add_argument("--method", choices=["minhash", "simhash", "exact"],
+    p.add_argument("--method",
+                   choices=["minhash", "simhash", "embedding", "exact"],
                    default="minhash")
+    p.add_argument("--embeddings",
+                   help="(id, vector) parquet for --method embedding; ids "
+                        "share the docs id space")
+    p.add_argument("--vec-col", default="embedding")
+    p.add_argument("--cosine-threshold", type=float, default=0.95,
+                   help="embedding: min cosine for a pair")
     p.add_argument("--id-col", default="doc_id")
     p.add_argument("--text-col", default="text")
     p.add_argument("--from-spans", action="store_true",
@@ -106,6 +117,35 @@ def main() -> None:
         pairs = sh.simhash_candidates(
             signed, id_col=args.id_col, sign_col="simhash",
             max_hamming=args.max_hamming,
+        )
+    elif args.method == "embedding":
+        if not args.embeddings:
+            raise SystemExit("--method embedding requires --embeddings")
+        emb = spark.read.parquet(args.embeddings)
+        emb_id = (args.id_col if args.id_col in emb.columns
+                  else emb.columns[0])
+        pairs = dedup.embedding_near_duplicates(
+            emb, id_col=emb_id, vec_col=args.vec_col,
+            threshold=args.cosine_threshold,
+        )
+        # the embedding table covers the RAW corpus — remap each pair
+        # endpoint through the exact pass's id → keep_id so clusters
+        # never elect an exactly-dropped id as survivor
+        remap = groups.select(
+            F.explode("all_ids").alias("_pid"),
+            F.col("keep_id").alias("_keep"),
+        )
+        for side in ("a", "b"):
+            pairs = (
+                pairs.join(remap, pairs[side] == remap["_pid"], "left")
+                .withColumn(side, F.coalesce("_keep", side))
+                .drop("_pid", "_keep")
+            )
+        pairs = (
+            pairs.filter(F.col("a") != F.col("b"))
+            .select(F.least("a", "b").alias("a"),
+                    F.greatest("a", "b").alias("b"))
+            .distinct()
         )
     else:
         pairs = None

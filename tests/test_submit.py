@@ -122,6 +122,76 @@ def test_spark_submit_dedup_job(spark, tmp_path):
     assert clusters["doc911"] == "doc001"
 
 
+def test_spark_submit_dedup_job_embedding(spark, tmp_path):
+    """--method embedding: pairs mined from the embedding table, with
+    endpoints remapped through the exact pass's keep mapping — a pair
+    naming an exactly-dropped id must still collapse onto the byte-dup
+    group's surviving keeper."""
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    base = rng.normal(size=(8, 16))
+    texts = {f"doc{i}": " ".join(f"w{i}_{j}" for j in range(20))
+             for i in range(8)}
+    texts["doc900"] = texts["doc0"]         # byte-dup of doc0 (dropped)
+    vecs = {f"doc{i}": base[i] for i in range(8)}
+    vecs["doc900"] = base[0] + 0.0          # same embedding as doc0
+    # doc901: near doc900's vector — its pair is (doc900, doc901) in the
+    # raw table, and the remap must turn it into keep_id doc0
+    vecs["doc901"] = base[0] + 0.01 * rng.normal(size=16)
+    texts["doc901"] = "totally different text " + texts["doc1"]
+
+    docs_dir = str(tmp_path / "docs")
+    spark.createDataFrame(
+        sorted(texts.items()), "doc_id string, text string"
+    ).write.parquet(docs_dir)
+    emb_dir = str(tmp_path / "emb")
+    spark.createDataFrame(
+        [(k, [float(x) for x in v]) for k, v in sorted(vecs.items())],
+        "doc_id string, embedding array<double>",
+    ).write.parquet(emb_dir)
+
+    zip_path = shutil.make_archive(
+        str(tmp_path / "spider_spark"), "zip",
+        root_dir=REPO, base_dir="spider_spark",
+    )
+    submit = os.path.join(os.path.dirname(pyspark.__file__),
+                          "bin", "spark-submit")
+    env = dict(os.environ)
+    env.pop("PYTHONPATH", None)
+    env["PYSPARK_PYTHON"] = sys.executable
+    out_dir = str(tmp_path / "out")
+    out = subprocess.run(
+        [submit, "--master", "local[2]",
+         "--conf", "spark.sql.shuffle.partitions=4",
+         "--conf", "spark.ui.enabled=false",
+         "--py-files", zip_path,
+         os.path.join(REPO, "jobs", "dedup_job.py"),
+         "--docs", docs_dir, "--out", out_dir,
+         "--method", "embedding", "--embeddings", emb_dir,
+         "--cosine-threshold", "0.95"],
+        env=env, cwd=str(tmp_path), capture_output=True, text=True,
+        timeout=600,
+    )
+    assert out.returncode == 0, out.stderr[-3000:]
+    line = json.loads(out.stdout.strip().splitlines()[-1])
+    assert line["n_docs"] == 10 and line["exact_kept"] == 9
+    kept_ids = {
+        r["doc_id"]
+        for r in spark.read.parquet(out_dir + "/kept").collect()
+    }
+    # doc900 fell in the exact pass; doc901's (doc900, doc901) pair
+    # remapped to (doc0, doc901) -> doc901 drops, doc0 stays
+    assert "doc0" in kept_ids
+    assert {"doc900", "doc901"}.isdisjoint(kept_ids)
+    assert line["kept"] == 8
+    clusters = {
+        r["id"]: r["keep_id"]
+        for r in spark.read.parquet(out_dir + "/near_clusters").collect()
+    }
+    assert clusters["doc901"] == "doc0"
+
+
 def test_spark_submit_signals_job(spark, tmp_path):
     """The log-analysis signal pipeline runs via the same contract and
     reproduces the ComputeUV weight semantics: per-(user,url) max weight
