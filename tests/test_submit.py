@@ -243,3 +243,45 @@ def test_spark_submit_signals_job(spark, tmp_path):
     assert line["urls"] == 4 and abs(line["uv_sum"] - 15.0) < 1e-9
     # the output is exactly the shape crawl_job --signals consumes
     assert set(spark.read.parquet(out_dir).columns) == {"url", "uv"}
+
+
+def test_spark_submit_signals_job_md5_logs(spark, tmp_path):
+    """--md5-map: an md5-keyed pv log resolves through the J5 join first
+    (latest-timestamp map row wins); unresolvable md5s drop."""
+    pv_dir = str(tmp_path / "pv")
+    spark.createDataFrame(
+        [("u1", 1, "m1"), ("u2", 2, "m1"), ("u3", 3, "m_unknown")],
+        "uid string, ts long, url_md5 string",
+    ).write.parquet(pv_dir)
+    map_dir = str(tmp_path / "map")
+    spark.createDataFrame(
+        [("m1", "http://old.example.com/", 10),
+         ("m1", "http://new.example.com/", 20)],   # latest ts wins
+        "md5 string, url string, ts long",
+    ).write.parquet(map_dir)
+
+    zip_path = shutil.make_archive(
+        str(tmp_path / "spider_spark"), "zip",
+        root_dir=REPO, base_dir="spider_spark",
+    )
+    submit = os.path.join(os.path.dirname(pyspark.__file__),
+                          "bin", "spark-submit")
+    env = dict(os.environ)
+    env.pop("PYTHONPATH", None)
+    env["PYSPARK_PYTHON"] = sys.executable
+    out_dir = str(tmp_path / "signals")
+    out = subprocess.run(
+        [submit, "--master", "local[2]",
+         "--conf", "spark.sql.shuffle.partitions=4",
+         "--conf", "spark.ui.enabled=false",
+         "--py-files", zip_path,
+         os.path.join(REPO, "jobs", "signals_job.py"),
+         "--pv", pv_dir, "--md5-map", map_dir, "--out", out_dir],
+        env=env, cwd=str(tmp_path), capture_output=True, text=True,
+        timeout=600,
+    )
+    assert out.returncode == 0, out.stderr[-3000:]
+    got = {r["url"]: r["uv"]
+           for r in spark.read.parquet(out_dir).collect()}
+    # two users at default weight on the LATEST mapping; m_unknown dropped
+    assert got == {"http://new.example.com/": 2.0}
