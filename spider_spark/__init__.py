@@ -33,7 +33,8 @@ streaming    Structured-Streaming crawl loop (foreachBatch rounds, session
 sinks        partitioned fetch-task writer/reader (S4 OutputWithFilePrefix)
 simhash      64-bit simhash + Manku block-permutation near-dup index
 dedup        exact / minhash-LSH / n-gram-Jaccard / embedding dedup family
-similarity   cosine kernels, brute-force + IVF-lite ANN, hyperplane LSH
+similarity   cosine kernels, brute-force + IVF-lite + multi-probe-LSH ANN,
+             hyperplane bucket keys
 textstats    language ID, quality scoring, token counting, fingerprints
 multimodal   binary media columns + real PNG/BMP/PPM/WAV/Y4M decode kernels
              (decode_images / decode_audio / sample_frames); jpeg/mp3/mp4
