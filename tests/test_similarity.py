@@ -129,6 +129,18 @@ def test_knn_ivf_plan_shuffle_free(emb, query):
     assert "hashpartitioning" not in plan, plan
 
 
+def test_knn_lsh_plan_shuffle_free(emb, query):
+    """The LSH probe must stay one scan: bucket key + probe-set filter
+    computed per-row (planes are plan literals), final top-k a
+    TakeOrderedAndProject (per-partition heap + driver merge) — no
+    Window, no hash-partition exchange, no full sort."""
+    out = sim.knn_lsh(emb, query, k=5, n_planes=6, hamming_probe=1)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrdered" in plan, plan
+    assert "Window" not in plan, plan
+    assert "hashpartitioning" not in plan, plan
+
+
 def test_zero_vector_never_tops_knn(spark):
     """cosine(0, q) is defined as 0, not NaN — Spark sorts NaN above every
     real value, so an unguarded 0/0 would rank an all-zeros embedding as
