@@ -31,7 +31,11 @@ jobs chain: crawl → linkbase → dedup the fetched corpus.
 
 The session comes from spark-submit's conf; at N or 4N executors the same
 invocation scales via --num-executors (all shuffles are keyed by content
-hash / band key — no driver-side state).
+hash / band key — no driver-side state). Size memory like an executor:
+on a cluster via --executor-memory, in local mode via --driver-memory
+(the one JVM hosts every core's tasks — a 620k-doc corpus over local[16]
+needs several GB; nothing corpus-sized is cached, but in-flight sort and
+Arrow buffers scale with cores × partition text).
 """
 
 from __future__ import annotations
@@ -93,13 +97,18 @@ def main() -> None:
         )
     else:
         docs = raw.select(args.id_col, args.text_col)
-    docs = docs.persist()
+    # deliberately NOT cached: docs/survivors carry the corpus TEXT, and
+    # pinning that in executor memory is exactly wrong at scale (at 100 TB
+    # it's the whole corpus; even local[16] on a 620k-doc web OOMs a
+    # default 1g spark-submit heap building the columnar batches). Each
+    # consumer re-scans the columnar source instead — parquet re-reads of
+    # pruned columns are the scalable barrier here, not a string cache.
     n_docs = docs.count()
 
     # 1. exact pre-pass: keep each md5 group's canonical survivor
     groups = dedup.exact_duplicates(docs, args.id_col, args.text_col)
     groups.write.mode("overwrite").parquet(args.out + "/exact_groups")
-    survivors = dedup.dedup_exact(docs, args.id_col, args.text_col).persist()
+    survivors = dedup.dedup_exact(docs, args.id_col, args.text_col)
     n_exact_kept = survivors.count()
 
     # 2. near-dup pairs on the survivors
